@@ -56,16 +56,8 @@ def detect_tipo_certidao(texto: str | None, lista_tipos: list[dict] | None = Non
     return None
 
 
-def tipo_flags(texto: str | None) -> int:
-    """Bitmask of the seven detection flags over *normalized* text.
-
-    Used by the distributed pipeline to pre-reduce per-chunk presence so
-    the doc-level reducer never needs the full concatenated text. Bit
-    order matches ``_COMBOS`` keys: CAT, CAO, CREA, CAU, CRT, CRA, CFTA.
-    """
-    if not texto:
-        return 0
-    upper = normalize_alnum(texto)
+def tipo_flags_norm(upper: str) -> int:
+    """Bitmask of the seven detection flags over already-normalized text."""
     bits = 0
     for i, needle_set in enumerate((
         ("ACERVOTECNICO", "CAT"),
@@ -79,6 +71,18 @@ def tipo_flags(texto: str | None) -> int:
         if any(n in upper for n in needle_set):
             bits |= 1 << i
     return bits
+
+
+def tipo_flags(texto: str | None) -> int:
+    """Bitmask of the seven detection flags over *normalized* text.
+
+    Used by the distributed pipeline to pre-reduce per-chunk presence so
+    the doc-level reducer never needs the full concatenated text. Bit
+    order matches ``_COMBOS`` keys: CAT, CAO, CREA, CAU, CRT, CRA, CFTA.
+    """
+    if not texto:
+        return 0
+    return tipo_flags_norm(normalize_alnum(texto))
 
 
 def detect_tipo_from_flags(bits: int, lista_tipos: list[dict] | None = None) -> int | None:

@@ -1,0 +1,107 @@
+"""End-to-end: Ray extraction pipeline ≡ oracle, span-for-span.
+
+The correctness gate from BASELINE.md: 100% span-sequence equality
+(kind, text, media_ref, order) row-for-row, plus property tests
+(block-order permutation and salt-span invariance).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_ocr_api_ray.oracle import run_document
+from pdf_ocr_api_ray.pipelines.extraction import build_extraction
+from pdf_ocr_api_ray.sources.fixtures import docs_to_table, generate_fixture_docs
+
+
+def _span_seq(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@pytest.fixture(scope="module")
+def corpus(depara):
+    docs = generate_fixture_docs(docs_per_family=4, skew_chunks=40)
+    oracle = {d["doc_id"]: run_document(d["doc_id"], d["spans"], depara) for d in docs}
+    return docs, oracle
+
+
+@pytest.fixture(scope="module")
+def pipeline_rows(ray_session, corpus, depara, tmp_path_factory):
+    import ray.data as rd
+
+    docs, _ = corpus
+    path = str(tmp_path_factory.mktemp("spans") / "input.parquet")
+    pq.write_table(docs_to_table(docs), path)
+    out = build_extraction(rd.read_parquet(path), depara, parse_concurrency=2)
+    return {r["doc_id"]: r for r in out.take_all()}
+
+
+def test_every_doc_present(corpus, pipeline_rows):
+    docs, _ = corpus
+    assert set(pipeline_rows) == {d["doc_id"] for d in docs}
+
+
+def test_span_sequence_equality(corpus, pipeline_rows):
+    _, oracle = corpus
+    bad = []
+    for doc_id, r in pipeline_rows.items():
+        if _span_seq(r["spans"]) != _span_seq(oracle[doc_id]["spans"]):
+            bad.append(doc_id)
+    assert bad == [], f"span mismatch for {bad[:5]} (+{max(0, len(bad) - 5)} more)"
+
+
+def test_scalar_fields_equal(corpus, pipeline_rows):
+    _, oracle = corpus
+    for doc_id, r in pipeline_rows.items():
+        o = oracle[doc_id]
+        for f in (
+            "NumerodaCertidao",
+            "ObjetodaCertidao",
+            "TipodaCertidao",
+            "QualificacaoObra",
+            "QualificacaoEspecifica",
+            "NiveldeAtividade",
+            "Estado",
+        ):
+            assert r[f] == o[f], (doc_id, f, r[f], o[f])
+        assert r["Servicos"] == o["Servicos"], doc_id
+
+
+def test_block_order_permutation_invariant(ray_session, corpus, depara):
+    """Reversing input row order must not change any document's output."""
+    import ray.data as rd
+
+    docs, oracle = corpus
+    sample = [d for d in docs if not d["doc_id"].startswith("f14")][:40]
+    reversed_tbl = docs_to_table(list(reversed(sample)))
+    out = build_extraction(rd.from_arrow(reversed_tbl), depara, parse_concurrency=2)
+    for r in out.take_all():
+        assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
+
+
+def test_salt_span_invariant(ray_session, corpus, depara):
+    """The salted two-phase reassembly must be a pure optimization: a
+    pathological salt_span (1 chunk per partial) gives identical output."""
+    import ray.data as rd
+
+    docs, oracle = corpus
+    multi = [d for d in docs if d["doc_id"].startswith(("f12", "f13", "f14"))]
+    out = build_extraction(
+        rd.from_arrow(docs_to_table(multi)), depara, parse_concurrency=2, salt_span=1
+    )
+    for r in out.take_all():
+        assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
+
+
+def test_output_parquet_roundtrip(ray_session, corpus, depara, tmp_path):
+    import ray.data as rd
+
+    docs, oracle = corpus
+    sample = [d for d in docs if d["doc_id"].startswith(("f1_", "f13", "f15"))]
+    out = build_extraction(rd.from_arrow(docs_to_table(sample)), depara, parse_concurrency=2)
+    out.write_parquet(str(tmp_path / "out"))
+    back = pq.read_table(str(tmp_path / "out"))
+    assert back.num_rows == len(sample)
+    for r in back.to_pylist():
+        assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
