@@ -1,44 +1,333 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship extraction pipeline over sf0.001 — documents →
+  deterministic interleaved-spans corpus → explode → OCR/parse actors →
+  salted reassembly (SURVEY.md §3.1).
+- ``queries()``: one callable per implemented operator family
+  (SURVEY.md §2 + the training-data operator set).
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents; sketch-based
+  and extraction pipelines are intentionally omitted (rows-only checks;
+  their correctness gates are the pytest oracle suites).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the driver may import this module from any cwd; the library lives
+# next to this file
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+os.environ["PYTHONPATH"] = (
+    _HERE + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _HERE
+)
+
+# Ray workers were spawned with the driver's original environment; if
+# that lacked /root/repo on PYTHONPATH they cannot import the library
+# by reference. Registering the package for pickle-by-value ships the
+# code inside each serialized task/actor instead.
+try:
+    import pdf_ocr_api_ray as _pkg
+
+    import ray.cloudpickle as _rcp
+
+    _rcp.register_pickle_by_value(_pkg)
+except Exception:  # pragma: no cover — fall back to by-reference
+    pass
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _extract_documents(sf_dir: str):
+    """Flagship: testdata documents → spans corpus → extraction DAG →
+    flat per-doc result projection (scalars + record/span counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pdf_ocr_api_ray.pipelines.extraction import build_extraction
+    from pdf_ocr_api_ray.sources.corpus import documents_batch_to_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    spans_ds = docs.map_batches(documents_batch_to_spans, batch_format="pyarrow")
+    out = build_extraction(spans_ds)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "NumerodaCertidao": t["NumerodaCertidao"],
+                "TipodaCertidao": t["TipodaCertidao"],
+                "NiveldeAtividade": t["NiveldeAtividade"],
+                "Estado": t["Estado"],
+                "n_servicos": pc.list_value_length(t["Servicos"]),
+                "n_spans": pc.list_value_length(t["spans"]),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _extract_documents(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_ocr_api_ray.pipelines import (
+        dedup,
+        events,
+        media,
+        relational,
+        similarity,
+        text,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (rows-only vs driver; pytest pins spans)
+        "extract_documents": _extract_documents,
+        # relational coverage
+        "pricing_summary": relational.pricing_summary,
+        "top_orders": relational.top_orders,
+        "orders_per_nation": relational.orders_per_nation,
+        "mktsegment_stats": relational.mktsegment_stats,
+        "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
+        "part_type_counts": relational.part_type_counts,
+        "supplier_balance": relational.supplier_balance,
+        # events / streaming-shaped
+        "events_daily": events.events_daily,
+        "running_total": events.running_total,
+        "sessionize": events.sessionize,
+        "asof_last_order": events.asof_last_order,
+        # text analysis
+        "doc_stats": text.doc_stats,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "fingerprint": text.fingerprint,
+        "token_freq": text.token_freq,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # similarity / embeddings
+        "ann_topk": similarity.ann_topk,
+        "embedding_near_dup": similarity.embedding_near_dup,
+        # multimodal plumbing (stubbed decode)
+        "media_features": media.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            -- measures quantized to integer units per row (cents /
+            -- 1e-4 units) so sums are exact and order-independent;
+            -- derived doubles divide the exact integers (bit-identical
+            -- to the Ray pipeline at any parallelism)
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_revenue,
+                   round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "orders_per_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "mktsegment_stats": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_bal,
+                   round(min(c_acctbal), 2) AS min_bal,
+                   round(max(c_acctbal), 2) AS max_bal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "revenue_by_returnflag_1995": """
+            SELECT l_returnflag,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_quantity > 25
+            GROUP BY l_returnflag
+        """,
+        "part_type_counts": """
+            SELECT p_type, count(*) AS n_parts FROM part GROUP BY p_type
+        """,
+        "supplier_balance": """
+            SELECT s_nationkey, count(*) AS n_suppliers,
+                   round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
+            FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_value
+            FROM events
+        """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            ), sizes AS (
+                SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+            FROM sizes GROUP BY user_id
+        """,
+        "asof_last_order": """
+            WITH od AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id,
+                   coalesce(od.o_orderkey, -1) AS last_orderkey
+            FROM events e
+            ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        """,
+        "doc_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   round(length(regexp_replace(text, '\s+', '', 'g'))
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_word_len
+            FROM documents
+        """,
+        "lang_id": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\b(?:the|a|fast|slow)\b')) AS score_en,
+                   len(regexp_extract_all(lower(text), '\b(?:data|sort|line)\b')) AS score_es,
+                   len(regexp_extract_all(lower(text), '\b(?:table|join)\b')) AS score_fr,
+                   len(regexp_extract_all(lower(text), '\b(?:group|window)\b')) AS score_de,
+                   len(regexp_extract_all(lower(text), '\b(?:stream|vector)\b')) AS score_zh,
+                   CASE WHEN score_en >= greatest(score_es, score_fr, score_de, score_zh) THEN 'en'
+                        WHEN score_es >= greatest(score_fr, score_de, score_zh) THEN 'es'
+                        WHEN score_fr >= greatest(score_de, score_zh) THEN 'fr'
+                        WHEN score_de >= score_zh THEN 'de'
+                        ELSE 'zh' END AS predicted_lang
+            FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+                   round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+                         / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4) AS stop_ratio,
+                   round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+                         / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
+                         + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
+                         4) AS quality
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "token_freq": r"""
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents)
+            GROUP BY word HAVING count(*) >= 50
+        """,
+        "dedup_exact": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS survivor_id,
+                   count(*) AS n_copies
+            FROM corpus GROUP BY md5(text)
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, source, w FROM (
+                    SELECT doc_id, source, unnest(regexp_extract_all(text, '\S+')) AS w
+                    FROM documents)
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM tok a JOIN tok b
+                  ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        """,
+        "ann_topk": """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, embedding AS pe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), sims AS (
+                SELECT p.probe_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(p.pe, e.embedding) AS sim
+                FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id
+            )
+            SELECT probe_id, rank, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM sims
+            ) WHERE rank <= 10
+        """,
+        "embedding_near_dup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        "media_features": """
+            SELECT doc_id,
+                   640 + (n_chars % 1280) AS width,
+                   360 + (doc_id % 720) AS height,
+                   1 + (doc_id % 24) AS n_frames
+            FROM documents
+        """,
+    }

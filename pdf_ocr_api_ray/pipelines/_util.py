@@ -1,0 +1,36 @@
+"""Shared helpers for the query pipelines.
+
+Rounding: numpy/pandas round half-to-even; DuckDB's ``round(DOUBLE)``
+rounds half away from zero (``std::round``). Exactly-representable
+halves (dyadic ratios like 137/32 = 4.28125) therefore differ by one
+ulp of the last digit. Every float column we emit for oracle comparison
+uses half-away-from-zero to match the SQL semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def round_half_away(s: pd.Series, ndigits: int) -> pd.Series:
+    f = 10.0**ndigits
+    arr = s.to_numpy(dtype=np.float64)
+    return pd.Series(np.sign(arr) * np.floor(np.abs(arr) * f + 0.5) / f, index=s.index)
+
+
+def round_cols_arrow(ds, cols: dict[str, int]):
+    """Round the given Dataset columns (Arrow path, half away from zero)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            t = t.set_column(
+                t.schema.get_field_index(c),
+                c,
+                pc.round(t[c], ndigits=nd, round_mode="half_towards_infinity"),
+            )
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")

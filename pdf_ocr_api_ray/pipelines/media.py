@@ -1,0 +1,63 @@
+"""Multimodal column plumbing (image/audio treated as opaque binary +
+typed metadata) with a STUBBED decode step.
+
+The container has no image/audio codecs, so the decode is a
+deterministic fake behind ``MediaDecoder`` (clearly marked); the
+Ray-side plumbing — actor-pool stage, schema, batch sizing for large
+binary payloads — is real and tested. A production deployment swaps
+``_decode_stub`` for a real decoder (PIL/ffmpeg) without touching the
+pipeline shape (cf. reference's by-reference assets,
+src/externalstorage/*).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _decode_stub(doc_id: int, n_chars: int) -> dict:
+    """DETERMINISTIC FAKE decode: derives image-like metadata from the
+    row's scalar columns (so the SQL oracle can reproduce it). A real
+    decoder would parse the binary payload here and raise
+    NotImplementedError on unsupported codecs."""
+    return {
+        "width": 640 + (n_chars % 1280),
+        "height": 360 + (doc_id % 720),
+        "n_frames": 1 + (doc_id % 24),
+    }
+
+
+class MediaDecoder:
+    """Actor-pool decode stage: codec/model state loads once per actor
+    (in production: PIL/libav contexts); per batch, decode and emit
+    typed metadata. Small batch_size is the knob for large payloads."""
+
+    def __init__(self) -> None:
+        self.codec_ready = True  # stand-in for heavy codec init
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        metas = [
+            _decode_stub(int(d), int(n)) for d, n in zip(df["doc_id"], df["n_chars"])
+        ]
+        out = pd.DataFrame(metas)
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+
+def media_features(sf_dir: str):
+    """Decode-and-extract features over the corpus (documents rows stand
+    in for media rows: doc_id + payload-size metadata)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ds.map_batches(
+        MediaDecoder,
+        batch_format="pandas",
+        batch_size=256,  # small batches: real payloads are MBs each
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

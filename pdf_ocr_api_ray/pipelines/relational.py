@@ -1,0 +1,237 @@
+"""Relational query pipelines over the TPC-H-ish testdata tables.
+
+Each function takes ``sf_dir`` and returns a Ray ``Dataset``; an
+equivalent ANSI-SQL oracle lives in ``__ray_entry__.oracle_sql``.
+Design rules (the 100-TB story):
+
+- prune columns at the read (``read_parquet(columns=...)``) and push
+  row filters into the scan where the query allows;
+- vectorized Arrow kernels inside ``map_batches`` only;
+- big×big joins go through ``Dataset.join`` (hash-partitioned);
+  small sides (nation, 25 rows) are broadcast dicts inside the batch
+  fn — never a shuffle;
+- aggregates use Ray's native grouped aggregation (partial per-block
+  combine inside Ray's hash-shuffle aggregator);
+- **money/measure columns are quantized to integer units per row
+  before summing** (cents / 10⁻⁴-units). Per-row float ops are
+  IEEE-deterministic across engines, and integer sums are exact and
+  order-independent — so results hash identically at any parallelism
+  and match DuckDB bit-for-bit, which raw float sums cannot
+  (parallel summation order shifts the last ulp across rounding
+  boundaries). Derived doubles (sums/averages) are computed from the
+  exact integers at the end.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import round_cols_arrow as _round_cols
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _icol(t: pa.Table, name: str, scale: float) -> pa.Array:
+    """Per-row integer quantization: round(col * scale) as int64."""
+    return pc.cast(pc.round(pc.multiply(t[name], pa.scalar(scale))), "int64")
+
+
+def _derive(t: pa.Table, out: str, num: str, scale: float, nd: int, per: str | None = None) -> pa.Table:
+    """out = round(num/scale [/ per], nd) — identical double ops to the
+    SQL oracle because the integer inputs are bit-identical."""
+    val = pc.divide(pc.cast(t[num], "float64"), pa.scalar(scale))
+    if per is not None:
+        val = pc.divide(val, pc.cast(t[per], "float64"))
+    val = pc.round(val, ndigits=nd, round_mode="half_towards_infinity")
+    return t.append_column(out, val)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate; revenue computed per row, all
+    measures integer-quantized before the (pre-combining) shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _icol(t, "l_quantity", 100.0),
+                "price_c": _icol(t, "l_extendedprice", 100.0),
+                "rev_u": pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), "int64"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("rev_u", alias_name="rev_u"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = _derive(t, "sum_qty", "qty_c", 100.0, 2)
+        t = _derive(t, "sum_base_price", "price_c", 100.0, 2)
+        t = _derive(t, "sum_revenue", "rev_u", 10000.0, 2)
+        t = _derive(t, "avg_qty", "qty_c", 100.0, 4, per="n_rows")
+        return t.drop_columns(["qty_c", "price_c", "rev_u"])
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def top_orders(sf_dir: str):
+    """Global top-k: sort (descending, keyed tiebreak) + limit."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def orders_per_nation(sf_dir: str):
+    """Hash-partitioned big×big join (orders ⋈ customer) + broadcast dim
+    lookup (nation → dict inside the batch fn) + grouped aggregate."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nation_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        keys = t["c_nationkey"].to_pylist()
+        names = pa.array([nation_map.get(k) for k in keys], pa.string())
+        t = t.append_column("n_name", names)
+        return t.append_column("price_c", _icol(t, "o_totalprice", 100.0))
+
+    agg = (
+        joined.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = _derive(t, "total_price", "price_c", 100.0, 2)
+        return t.drop_columns(["price_c"])
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def mktsegment_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment", "c_acctbal"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return t.append_column("bal_c", _icol(t, "c_acctbal", 100.0))
+
+    agg = (
+        ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("bal_c", alias_name="bal_c"),
+            Min("c_acctbal", alias_name="min_bal"),
+            Max("c_acctbal", alias_name="max_bal"),
+        )
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = _derive(t, "avg_bal", "bal_c", 100.0, 4, per="n_customers")
+        return t.drop_columns(["bal_c"])
+
+    return _round_cols(agg.map_batches(derive, batch_format="pyarrow"), {"min_bal": 2, "max_bal": 2})
+
+
+def revenue_by_returnflag_1995(sf_dir: str):
+    """Filter-pushdown query: the shipdate/quantity predicate goes into
+    the parquet scan (row-group pruning), not a post-read filter."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(datetime(1995, 1, 1)))
+            & (pc.field("l_shipdate") < pa.scalar(datetime(1996, 1, 1)))
+            & (pc.field("l_quantity") > pa.scalar(25.0))
+        ),
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "rev_u": pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), "int64"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("rev_u", alias_name="rev_u"), Count(alias_name="n_rows"))
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = _derive(t, "revenue", "rev_u", 10000.0, 2)
+        return t.drop_columns(["rev_u"])
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def part_type_counts(sf_dir: str):
+    """Distinct-style: grouped count over a categorical column."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_type"])
+    return ds.groupby("p_type").aggregate(Count(alias_name="n_parts"))
+
+
+def supplier_balance(sf_dir: str):
+    """Tiny-table sanity query (unit of the broadcast-dim path)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return t.append_column("bal_c", _icol(t, "s_acctbal", 100.0))
+
+    agg = (
+        ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="bal_c"))
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = _derive(t, "total_bal", "bal_c", 100.0, 2)
+        return t.drop_columns(["bal_c"])
+
+    return agg.map_batches(derive, batch_format="pyarrow")

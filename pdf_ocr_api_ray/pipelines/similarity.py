@@ -1,0 +1,126 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``ann_topk``: brute-force cosine top-k per probe vector — the probe
+  matrix is broadcast once (tiny) and each batch does one float64
+  matmul; per-probe top-k is a (probe_id) groupby over per-batch
+  partial top-k rows (each batch emits ≤ k rows per probe, so the
+  shuffle is k × probes × blocks, independent of corpus size).
+- ``embedding_near_dup``: all-pairs cosine ≥ τ via the same broadcast
+  pattern (brute force; an IVF/LSH-bucketed variant is the 10^9-vector
+  scale path — bucket by coarse quantizer, compare within buckets).
+
+Outputs carry ids + integer ranks only (no float columns) so results
+hash identically across summation orders; ties are broken by vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+N_PROBES = 5
+TOP_K = 10
+
+
+def _probe_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The probe set: embeddings of the N_PROBES smallest vec_ids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(N_PROBES)
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def ann_topk(sf_dir: str):
+    """Top-10 cosine neighbors (excluding self) for each probe vector.
+    Returns (probe_id, rank, neighbor_id)."""
+    import ray.data as rd
+
+    probe_ids, probes = _probe_matrix(sf_dir)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sims = vecs @ probes.T  # (batch, n_probes)
+        ids = df["vec_id"].to_numpy()
+        out = []
+        for p in range(len(probe_ids)):
+            col = sims[:, p]
+            mask = ids != probe_ids[p]  # exclude self
+            cand_ids = ids[mask]
+            cand_sims = col[mask]
+            order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
+            for i in order:
+                out.append((int(probe_ids[p]), int(cand_ids[i]), float(cand_sims[i])))
+        return pd.DataFrame(out, columns=["probe_id", "neighbor_id", "sim"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "probe_id": g["probe_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+            }
+        )
+
+    return partials.groupby("probe_id").map_groups(final_topk, batch_format="pandas")
+
+
+def _augment(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic near-dup injection (the synthetic corpus has no
+    duplicates): an exact copy (vec_id + 100_000) of every
+    vec_id % 10 == 0. SQL-reproducible (plain UNION ALL)."""
+    dup = df[df["vec_id"] % 10 == 0].copy()
+    dup["vec_id"] = dup["vec_id"] + 100_000
+    return pd.concat([df, dup], ignore_index=True)
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.9):
+    """All-pairs cosine near-duplicates over the augmented corpus:
+    (id_a < id_b, cos ≥ τ). Corpus matrix broadcast once via ray.put;
+    each batch does one matmul against it."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    full = _augment(t.to_pandas())
+    all_ids = full["vec_id"].to_numpy()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    corpus_ref = ray.put((all_ids, mat))
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+        _augment, batch_format="pandas"
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_all, corpus = ray.get(corpus_ref)
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sims = vecs @ corpus.T
+        rows_ids = df["vec_id"].to_numpy()
+        ai, bi = np.nonzero(sims >= threshold)
+        out_a, out_b = [], []
+        for i, j in zip(ai, bi):
+            a, b = int(rows_ids[i]), int(ids_all[j])
+            if a < b:
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return ds.map_batches(pairs, batch_format="pandas")

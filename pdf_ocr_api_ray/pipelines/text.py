@@ -1,0 +1,157 @@
+"""Text-analysis pipelines over the ``documents`` table — the
+training-data-pipeline operator set (language-ID, quality scoring,
+token counting, fingerprinting, word frequency).
+
+Every transform is a vectorized ``map_batches`` (pandas ``.str`` /
+compiled-regex kernels); global aggregations pre-combine per batch
+before the shuffle (token_freq emits one row per distinct word per
+batch, not one per token). Each query's semantics are chosen to be
+expressible in ANSI SQL so DuckDB can act as the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+
+_TOKEN_RE = re.compile(r"\S+")
+_WS_RE = re.compile(r"\s+")
+
+# language marker words (the per-language n-gram heuristic, kept to
+# dictionary words that appear in the synthetic corpus so scores are
+# non-degenerate; priority order breaks ties)
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "fast", "slow"]),
+    ("es", ["data", "sort", "line"]),
+    ("fr", ["table", "join"]),
+    ("de", ["group", "window"]),
+    ("zh", ["stream", "vector"]),
+]
+_LANG_RES = [(lang, re.compile(r"\b(?:" + "|".join(ws) + r")\b")) for lang, ws in LANG_MARKERS]
+
+STOPWORDS_RE = re.compile(r"\b(?:the|a|of|to|and)\b")
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def doc_stats(sf_dir: str):
+    """Per-doc token/char counts and average word length."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.count(_TOKEN_RE)
+        chars = df["text"].str.len()
+        nonws = df["text"].str.replace(_WS_RE, "", regex=True).str.len()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": toks.astype("int64"),
+                "n_chars": chars.astype("int64"),
+                "avg_word_len": round_half_away(nonws / toks.clip(lower=1), 4),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def lang_id(sf_dir: str):
+    """N-gram-marker language ID: per-language marker counts + argmax
+    (fixed priority order on ties)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        lower = df["text"].str.lower()
+        out = {"doc_id": df["doc_id"]}
+        scores = []
+        for lang, rex in _LANG_RES:
+            s = lower.str.count(rex).astype("int64")
+            out[f"score_{lang}"] = s
+            scores.append((lang, s))
+        best = scores[0][1].copy() * 0 - 1
+        pred = pd.Series([""] * len(df), index=df.index)
+        for lang, s in scores:  # first-in-order wins ties
+            mask = s > best
+            pred = pred.where(~mask, lang)
+            best = best.where(~mask, s)
+        out["predicted_lang"] = pred
+        return pd.DataFrame(out)
+
+    return ds.map_batches(classify, batch_format="pandas")
+
+
+def quality_score(sf_dir: str):
+    """Heuristic document-quality scoring (stopword ratio + length term)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lower = df["text"].str.lower()
+        toks = lower.str.count(_TOKEN_RE).clip(lower=1)
+        stops = lower.str.count(STOPWORDS_RE)
+        stop_ratio = round_half_away(stops / toks, 4)
+        len_term = (toks / 100.0).clip(upper=1.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": lower.str.count(_TOKEN_RE).astype("int64"),
+                "stop_ratio": stop_ratio,
+                "quality": round_half_away(0.5 * stop_ratio + 0.5 * len_term, 4),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def normalize_text(text: str) -> str:
+    """Canonical fingerprint normalization: lowercase, collapse
+    whitespace, trim (the O14 analogue over free text)."""
+    return _WS_RE.sub(" ", (text or "").lower()).strip()
+
+
+def fingerprint(sf_dir: str):
+    """Content fingerprint: md5 of the normalized text (exactly
+    reproducible in SQL: md5(trim(regexp_replace(lower(text),…))))."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        norm = df["text"].map(normalize_text)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fp": norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+def token_freq(sf_dir: str, min_count: int = 50):
+    """Corpus word frequency with per-batch pre-aggregation: each batch
+    emits one (word, partial_count) row per DISTINCT word — the shuffle
+    moves vocabulary-sized data, not token-sized."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].str.findall(_TOKEN_RE).explode().value_counts()
+        return pd.DataFrame({"word": counts.index.astype(str), "partial": counts.values})
+
+    partials = ds.map_batches(partial_counts, batch_format="pandas")
+    out = partials.groupby("word").aggregate(Sum("partial", alias_name="n"))
+    return out.filter(expr=f"n >= {min_count}")

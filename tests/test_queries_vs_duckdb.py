@@ -1,0 +1,111 @@
+"""Driver-contract parity: every queries() entry with an oracle_sql()
+entry must match DuckDB on row count, (sorted) schema and values at
+sf0.001 — mirroring the driver's CORRECTNESS gate (it runs sf0.01).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _load_entry_module():
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__ray_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    return _load_entry_module()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+SQL_CHECKED = None  # filled in test_parity parametrization at import
+
+
+def _query_names():
+    mod = _load_entry_module()
+    return sorted(set(mod.queries()) & set(mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_parity(ray_session, entry_mod, con, name):
+    ray_df = _canon(_to_pandas(entry_mod.queries()[name](SF_DIR)))
+    sql_df = _canon(con.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} vs {len(sql_df)}"
+    for c in ray_df.columns:
+        a, b = ray_df[c], sql_df[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                a.astype(float), b.astype(float), check_names=False, rtol=0, atol=1e-9
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), f"{name}: col {c} differs"
+
+
+def test_rows_only_queries_run(ray_session, entry_mod):
+    """Queries without a SQL oracle must still execute and return rows
+    with a stable schema."""
+    q = entry_mod.queries()
+    rows_only = sorted(set(q) - set(entry_mod.oracle_sql()))
+    assert set(rows_only) == {"extract_documents", "dedup_minhash_lsh", "dedup_simhash"}
+    for name in rows_only:
+        df = _to_pandas(q[name](SF_DIR))
+        assert df is not None
+        assert len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session, entry_mod):
+    df = _to_pandas(entry_mod.entry())
+    assert len(df) > 0
+    assert "doc_id" in df.columns
