@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media,
         relational,
         similarity,
+        spanops,
         text,
     )
 
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "fingerprint": text.fingerprint,
         "token_freq": text.token_freq,
+        "token_count_bpe": text.token_count_bpe,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -124,6 +126,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": similarity.embedding_near_dup,
         # multimodal plumbing (stubbed decode)
         "media_features": media.media_features,
+        # span surgery (Adobe sample-family analogues, SURVEY.md §2.3;
+        # rows-only — semantics pinned by tests/test_spanops.py oracles)
+        "span_split": spanops.split_chunks,
+        "span_combine": spanops.combine_docs,
+        "span_delete": spanops.delete_chunks,
+        "span_reorder": spanops.reorder_chunks,
+        "span_watermark": spanops.watermark,
+        "span_properties": spanops.span_properties,
     }
 
 
@@ -258,6 +268,13 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": r"""
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
+                   len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
             FROM documents
         """,
         "token_freq": r"""

@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 from ..functions.depara import default_depara
-from ..stages.assemble import SALT_SPAN, FinalAssembler, partial_combine
+from ..stages.assemble import NUM_BUCKETS, BucketAssembler, make_batch_combine
 from ..stages.explode import explode_batch
 from ..stages.parse import ChunkParser
 
@@ -40,39 +40,49 @@ def build_extraction(
     *,
     parse_concurrency: int | tuple[int, int] | None = None,
     parse_batch_size: int = 64,
-    salt_span: int = SALT_SPAN,
+    num_buckets: int = NUM_BUCKETS,
 ) -> "ray.data.Dataset":
-    """Compose the extraction DAG over an input Dataset of spans rows."""
-    import pyarrow.compute as pc
+    """Compose the extraction DAG over an input Dataset of spans rows.
 
+    Input rows must have unique ``doc_id`` (the identity; duplicate ids
+    merge into one document, like replayed job ids in the reference).
+    """
     depara = depara or default_depara()
-    if parse_concurrency is None:
-        parse_concurrency = (1, _default_parallelism())
 
     chunks = ds.map_batches(explode_batch, batch_format="pyarrow")
-    parsed = chunks.map_batches(
-        ChunkParser,
-        fn_constructor_kwargs={"depara": depara},
-        batch_format="pyarrow",
-        batch_size=parse_batch_size,
-        concurrency=parse_concurrency,
-        num_cpus=1,
-    )
-    salted = parsed.map_batches(
-        lambda t: t.append_column(
-            "salt", pc.cast(pc.divide(t["chunk_idx"], salt_span), "int32")
-        ),
-        batch_format="pyarrow",
-    )
-    partials = salted.groupby(["doc_id", "salt"]).map_groups(
-        partial_combine, batch_format="pyarrow"
-    )
-    assembler = FinalAssembler(depara)
+    if parse_concurrency is None:
+        # default: stateless TASKS. The deterministic OCR stand-in's only
+        # state is module-level compiled regexes (warm per worker
+        # process), so an actor pool buys nothing and costs real money:
+        # a fixed pool reserves CPUs for the whole operator lifetime
+        # (starving read/combine/write) and pays actor-startup ramp every
+        # run — measured ~8s/22s of the sf0.1 bench. A REAL model-backed
+        # OCR stage (weights loaded in __init__) should pass
+        # parse_concurrency=N to get the actor pool.
+        parser = ChunkParser(depara)
 
-    def final_assemble(group):
+        def parse_chunks(t):
+            return parser(t)
+
+        parsed = chunks.map_batches(
+            parse_chunks, batch_format="pyarrow", batch_size=parse_batch_size
+        )
+    else:
+        parsed = chunks.map_batches(
+            ChunkParser,
+            fn_constructor_kwargs={"depara": depara},
+            batch_format="pyarrow",
+            batch_size=parse_batch_size,
+            concurrency=parse_concurrency,
+            num_cpus=1,
+        )
+    partials = parsed.map_batches(make_batch_combine(num_buckets), batch_format="pyarrow")
+    assembler = BucketAssembler(depara)
+
+    def assemble_bucket(group):
         return assembler(group)
 
-    return partials.groupby("doc_id").map_groups(final_assemble, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(assemble_bucket, batch_format="pyarrow")
 
 
 def run_extraction_on_parquet(

@@ -96,13 +96,27 @@ def pricing_summary(sf_dir: str):
 
 
 def top_orders(sf_dir: str):
-    """Global top-k: sort (descending, keyed tiebreak) + limit."""
+    """Global top-k without a global sort: each batch emits its local
+    top-10 (vectorized argpartition-style select), then the tiny
+    partial set is sorted once. Shuffle volume = 10 rows per block."""
     import ray.data as rd
 
     ds = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=10, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx)
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    # final merge: ≤10 rows per block → driver-side sort of a tiny set
+    merged = partials.to_pandas()
+    return merged.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
 
 
 def orders_per_nation(sf_dir: str):
@@ -115,22 +129,35 @@ def orders_per_nation(sf_dir: str):
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     nation_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
 
+    # pre-aggregate the fact side by the join key BEFORE the join: the
+    # join inputs shrink from |orders| rows to ≤|customer| rows, so the
+    # hash-partitioned exchange moves aggregates, not facts
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "price_c": _icol(t, "o_totalprice", 100.0)}
+        )
+
+    per_cust = (
+        orders.map_batches(quantize, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    )
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    joined = orders.join(
-        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    joined = per_cust.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
 
     def add_nation(t: pa.Table) -> pa.Table:
         keys = t["c_nationkey"].to_pylist()
         names = pa.array([nation_map.get(k) for k in keys], pa.string())
-        t = t.append_column("n_name", names)
-        return t.append_column("price_c", _icol(t, "o_totalprice", 100.0))
+        return t.append_column("n_name", names)
 
     agg = (
         joined.map_batches(add_nation, batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
     )
 
     def derive(t: pa.Table) -> pa.Table:

@@ -47,7 +47,10 @@ def ann_topk(sf_dir: str):
 
     probe_ids, probes = _probe_matrix(sf_dir)
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ann_topk_impl(ds, probe_ids, probes)
 
+
+def ann_topk_impl(ds, probe_ids, probes):
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
@@ -87,6 +90,84 @@ def _augment(df: pd.DataFrame) -> pd.DataFrame:
     dup = df[df["vec_id"] % 10 == 0].copy()
     dup["vec_id"] = dup["vec_id"] + 100_000
     return pd.concat([df, dup], ignore_index=True)
+
+
+N_PLANES = 8  # 2^8 = 256 LSH buckets
+_PLANE_RNG = np.random.RandomState(0xA11CE)
+_PLANES64: np.ndarray | None = None
+
+
+def _planes(dim: int) -> np.ndarray:
+    global _PLANES64
+    if _PLANES64 is None or _PLANES64.shape[1] != dim:
+        _PLANES64 = np.random.RandomState(0xA11CE).standard_normal((N_PLANES, dim))
+    return _PLANES64
+
+
+def _lsh_bucket(vecs: np.ndarray) -> np.ndarray:
+    """Hyperplane LSH bucket id per row (deterministic planes)."""
+    signs = (vecs @ _planes(vecs.shape[1]).T) > 0
+    return (signs @ (1 << np.arange(N_PLANES))).astype(np.int64)
+
+
+def ann_topk_lsh(sf_dir: str, n_probe_buckets: int = 37):
+    """The 10^9-vector scale path for ann_topk: hyperplane-LSH bucketing
+    (256 buckets) with multi-probe — each corpus batch only compares
+    vectors whose bucket is among the probe's ``n_probe_buckets``
+    nearest buckets (by Hamming distance of the bucket codes; the default
+    37 = all codes within Hamming ≤ 2 of 8 bits ≈ 14%% of buckets). Compare
+    count drops ~bucket-fold vs brute force; on data with real neighbor
+    structure near-neighbors share buckets w.h.p. (tests assert recall
+    on structured corpora; on noise data recall ≈ scan fraction — an
+    information-theoretic floor, not an implementation defect)."""
+    import ray.data as rd
+
+    probe_ids, probes = _probe_matrix(sf_dir)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ann_topk_lsh_impl(ds, probe_ids, probes, n_probe_buckets)
+
+
+def ann_topk_lsh_impl(ds, probe_ids, probes, n_probe_buckets: int = 37):
+    probe_buckets = _lsh_bucket(probes)
+
+    # multi-probe: accept corpus buckets within small Hamming distance
+    all_codes = np.arange(1 << N_PLANES)
+    accept: dict[int, np.ndarray] = {}
+    for p, code in enumerate(probe_buckets):
+        ham = np.array([bin(int(code) ^ int(c)).count("1") for c in all_codes])
+        accept[p] = all_codes[np.argsort(ham, kind="stable")][:n_probe_buckets]
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        codes = _lsh_bucket(vecs)
+        ids = df["vec_id"].to_numpy()
+        out = []
+        for p in range(len(probe_ids)):
+            mask = np.isin(codes, accept[p]) & (ids != probe_ids[p])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ probes[p]
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, -sims))[:TOP_K]
+            for i in order:
+                out.append((int(probe_ids[p]), int(cand_ids[i]), float(sims[i])))
+        return pd.DataFrame(out, columns=["probe_id", "neighbor_id", "sim"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "probe_id": g["probe_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+            }
+        )
+
+    return partials.groupby("probe_id").map_groups(final_topk, batch_format="pandas")
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.9):

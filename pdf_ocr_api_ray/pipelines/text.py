@@ -139,6 +139,30 @@ def fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pandas")
 
 
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def token_count_bpe(sf_dir: str):
+    """BPE-style pre-tokenizer counts: word / number / punctuation
+    runs (the GPT-2 pre-tokenization shape, RE2-safe so the SQL oracle
+    applies the identical pattern)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": df["text"].str.count(_BPE_RE).astype("int64"),
+                "n_word_tokens": df["text"].str.count(r"[A-Za-z]+").astype("int64"),
+                "n_number_tokens": df["text"].str.count(r"[0-9]+").astype("int64"),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
 def token_freq(sf_dir: str, min_count: int = 50):
     """Corpus word frequency with per-batch pre-aggregation: each batch
     emits one (word, partial_count) row per DISTINCT word — the shuffle

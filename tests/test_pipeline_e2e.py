@@ -80,18 +80,25 @@ def test_block_order_permutation_invariant(ray_session, corpus, depara):
         assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
 
 
-def test_salt_span_invariant(ray_session, corpus, depara):
-    """The salted two-phase reassembly must be a pure optimization: a
-    pathological salt_span (1 chunk per partial) gives identical output."""
+def test_bucket_count_invariant(ray_session, corpus, depara):
+    """The bucketed reassembly must be a pure optimization: pathological
+    bucket counts (1 bucket = everything in one reducer; 4096 = nearly
+    one doc per bucket) give identical output. Also stresses the
+    batch-boundary combine with a tiny parse batch size."""
     import ray.data as rd
 
     docs, oracle = corpus
     multi = [d for d in docs if d["doc_id"].startswith(("f12", "f13", "f14"))]
-    out = build_extraction(
-        rd.from_arrow(docs_to_table(multi)), depara, parse_concurrency=2, salt_span=1
-    )
-    for r in out.take_all():
-        assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
+    for nb, bs in ((1, 4), (4096, 2)):
+        out = build_extraction(
+            rd.from_arrow(docs_to_table(multi)),
+            depara,
+            parse_concurrency=2,
+            num_buckets=nb,
+            parse_batch_size=bs,
+        )
+        for r in out.take_all():
+            assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
 
 
 def test_output_parquet_roundtrip(ray_session, corpus, depara, tmp_path):

@@ -98,7 +98,17 @@ def test_rows_only_queries_run(ray_session, entry_mod):
     with a stable schema."""
     q = entry_mod.queries()
     rows_only = sorted(set(q) - set(entry_mod.oracle_sql()))
-    assert set(rows_only) == {"extract_documents", "dedup_minhash_lsh", "dedup_simhash"}
+    assert set(rows_only) == {
+        "extract_documents",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "span_split",
+        "span_combine",
+        "span_delete",
+        "span_reorder",
+        "span_watermark",
+        "span_properties",
+    }
     for name in rows_only:
         df = _to_pandas(q[name](SF_DIR))
         assert df is not None

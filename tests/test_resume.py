@@ -1,0 +1,80 @@
+"""Kill-and-resume: a crashed checkpointed run resumes without
+reprocessing completed partitions and produces identical output."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_ocr_api_ray.oracle import run_document
+from pdf_ocr_api_ray.sources.fixtures import docs_to_table, generate_fixture_docs
+from pdf_ocr_api_ray.state.checkpoint import (
+    completed_partitions,
+    partition_of,
+    read_output,
+    run_checkpointed,
+)
+
+
+@pytest.fixture(scope="module")
+def input_parquet(tmp_path_factory):
+    docs = generate_fixture_docs(
+        families=["f1_table_basic", "f6_category_mothers", "f12_multichunk", "f15_empty_and_edge"],
+        docs_per_family=8,
+    )
+    path = str(tmp_path_factory.mktemp("ckpt") / "input.parquet")
+    pq.write_table(docs_to_table(docs), path)
+    return path, docs
+
+
+def test_kill_and_resume_equals_uninterrupted(ray_session, depara, input_parquet, tmp_path):
+    path, docs = input_parquet
+    out_dir = str(tmp_path / "out")
+
+    # "crash" after 2 of 4 partitions
+    r1 = run_checkpointed(path, out_dir, num_partitions=4, depara=depara, max_partitions=2)
+    assert len(r1["processed"]) == 2
+    assert completed_partitions(out_dir) == set(r1["processed"])
+
+    # resume: must skip the completed two and finish the rest
+    r2 = run_checkpointed(path, out_dir, num_partitions=4, depara=depara)
+    assert set(r2["skipped"]) == set(r1["processed"])
+    assert sorted(r2["processed"] + r2["skipped"]) == [0, 1, 2, 3]
+
+    # a third run is a no-op
+    r3 = run_checkpointed(path, out_dir, num_partitions=4, depara=depara)
+    assert r3["processed"] == []
+
+    # resumed output ≡ oracle for every doc
+    table = read_output(out_dir)
+    assert table.num_rows == len(docs)
+    oracle = {d["doc_id"]: run_document(d["doc_id"], d["spans"], depara) for d in docs}
+    for row in table.to_pylist():
+        exp = oracle[row["doc_id"]]["spans"]
+        got = row["spans"]
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp
+        ]
+
+
+def test_manifest_lineage_and_metrics(ray_session, input_parquet, tmp_path, depara):
+    path, docs = input_parquet
+    out_dir = str(tmp_path / "out2")
+    run_checkpointed(path, out_dir, num_partitions=2, depara=depara)
+    lines = [json.loads(x) for x in open(os.path.join(out_dir, "manifest.jsonl"))]
+    assert len(lines) == 2
+    for line in lines:
+        assert line["input_path"] == path
+        assert line["n_docs"] > 0
+        assert line["wall_s"] > 0
+        assert line["docs_per_s"] > 0
+    assert sum(l["n_docs"] for l in lines) == len(docs)
+
+
+def test_partition_assignment_stable():
+    assert partition_of("doc-x", 8) == partition_of("doc-x", 8)
+    spread = {partition_of(f"doc-{i}", 8) for i in range(100)}
+    assert len(spread) == 8

@@ -1,0 +1,101 @@
+"""Span-surgery operators: kernel semantics + Ray/oracle agreement."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_ocr_api_ray.functions.ocr import CHUNK_STRIDE
+from pdf_ocr_api_ray.pipelines import spanops
+
+
+def _sp(kind, text, offset, ref=""):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": offset}
+
+
+@pytest.fixture()
+def doc3():
+    """Three chunks: text, table+media, text."""
+    return [
+        _sp("text", "c0 line", 0),
+        _sp("table_header", "ITEM\tDESC\tUNIDADE\tQUANTIDADE", 1),
+        _sp("text", "c1 line", CHUNK_STRIDE),
+        _sp("page_image", "", CHUNK_STRIDE + 1, "mem://d/p1"),
+        _sp("text", "c2 line", 2 * CHUNK_STRIDE),
+    ]
+
+
+def test_split_doc(doc3):
+    rows = spanops.split_doc("d", doc3)
+    assert [r["doc_id"] for r in rows] == ["d#c0", "d#c1", "d#c2"]
+    # every part re-based to chunk 0
+    for r in rows:
+        assert all(s["offset"] < CHUNK_STRIDE for s in r["spans"])
+    assert rows[1]["spans"][1]["media_ref"] == "mem://d/p1"
+
+
+def test_delete_chunks_doc(doc3):
+    out = spanops.delete_chunks_doc(doc3, 1, 2)  # drop chunk 1
+    chunks = sorted({s["offset"] // CHUNK_STRIDE for s in out})
+    assert chunks == [0, 1]  # gap closed
+    texts = [s["text"] for s in out if s["kind"] == "text"]
+    assert texts == ["c0 line", "c2 line"]
+
+
+def test_reorder_chunks_doc(doc3):
+    out = spanops.reorder_chunks_doc(doc3)
+    first_chunk_texts = [s["text"] for s in out if s["offset"] < CHUNK_STRIDE and s["kind"] == "text"]
+    assert first_chunk_texts == ["c2 line"]
+
+
+def test_rotate_media_doc(doc3):
+    out = spanops.rotate_media_doc(doc3, angle=180)
+    refs = [s["media_ref"] for s in out if s["kind"] == "page_image"]
+    assert refs == ["mem://d/p1#rot180"]
+    # non-media untouched
+    assert out[0] == doc3[0]
+
+
+def test_watermark_doc(doc3):
+    out = spanops.watermark_doc(doc3, "mem://assets/wm")
+    wm = [s for s in out if s["media_ref"] == "mem://assets/wm"]
+    assert len(wm) == 3  # one per chunk
+    assert sorted(s["offset"] % CHUNK_STRIDE for s in wm) == [0, 0, 0]
+    # original spans shifted by one within their chunk
+    assert any(s["text"] == "c0 line" and s["offset"] == 1 for s in out)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["split_chunks", "combine_docs", "delete_chunks", "reorder_chunks", "watermark", "span_properties"],
+)
+def test_spanops_queries_run(ray_session, query):
+    ds = getattr(spanops, query)(SF)
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert "doc_id" in df.columns
+
+
+def test_span_properties_values(ray_session):
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.sources.corpus import document_to_spans
+
+    df = spanops.span_properties(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    for d in docs[:25]:
+        spans = document_to_spans(d["doc_id"], d["text"])
+        row = df.loc[f"doc-{d['doc_id']:08d}"]
+        assert row["n_spans"] == len(spans)
+        assert row["n_media"] == sum(1 for s in spans if s["kind"] == "page_image")
+        assert row["total_text_len"] == sum(len(s["text"]) for s in spans)
+        exp_chunks = len({s["offset"] // CHUNK_STRIDE for s in spans}) if spans else 0
+        assert row["n_chunks"] == exp_chunks
+
+
+def test_combine_docs_groups(ray_session):
+    df = spanops.combine_docs(SF).to_pandas()
+    assert df["doc_id"].str.startswith("group-").all()
+    assert len(df) == 50  # 500 docs / group_size 10
