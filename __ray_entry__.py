@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
         "part_type_counts": relational.part_type_counts,
         "supplier_balance": relational.supplier_balance,
+        "orders_outside_segment": relational.orders_outside_segment,
+        "latest_order_per_customer": relational.latest_order_per_customer,
         # events / streaming-shaped
         "events_daily": events.events_daily,
         "running_total": events.running_total,
@@ -116,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text.fingerprint,
         "token_freq": text.token_freq,
         "token_count_bpe": text.token_count_bpe,
+        "ocr_postclean": text.ocr_postclean,
+        "document_merge": text.document_merge,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -186,6 +190,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_type_counts": """
             SELECT p_type, count(*) AS n_parts FROM part GROUP BY p_type
+        """,
+        "orders_outside_segment": """
+            SELECT o_orderstatus, count(*) AS n_outside_orders
+            FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+            GROUP BY o_orderstatus
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey,
+                   CAST(max(CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT)
+                            * 100000000 + o_orderkey) % 100000000 AS BIGINT) AS latest_orderkey
+            FROM orders GROUP BY o_custkey
+        """,
+        "ocr_postclean": r"""
+            SELECT doc_id, length(t4) AS clean_len, md5(t4) AS clean_md5
+            FROM (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                           '(?i)\b[eac]{3,}\b', '', 'g'),
+                           '\s{2,}', ' ', 'g'),
+                           '(\n\s*){2,}', '\n', 'g'),
+                           '\s+([.,;:])', '\1', 'g') AS t4
+                FROM documents
+            )
+        """,
+        "document_merge": """
+            SELECT c_custkey, length(doc) AS doc_len, md5(doc) AS doc_md5
+            FROM (
+                SELECT c_custkey,
+                       'Dear ' || c_name || ', your ' || c_mktsegment
+                       || ' account balance is ' || printf('%.2f', c_acctbal)
+                       || '.' AS doc
+                FROM customer
+            )
         """,
         "supplier_balance": """
             SELECT s_nationkey, count(*) AS n_suppliers,

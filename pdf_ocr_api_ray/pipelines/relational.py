@@ -232,6 +232,83 @@ def revenue_by_returnflag_1995(sf_dir: str):
     return agg.map_batches(derive, batch_format="pyarrow")
 
 
+def orders_outside_segment(sf_dir: str, segment: str = "AUTOMOBILE"):
+    """Anti semi-join via broadcast key set: the FILTERED dimension key
+    set (custkeys of one market segment; at 10^12 scale a Bloom filter)
+    is broadcast once and every fact batch filters against it inside
+    map_batches — the dim predicate is pushed to the fact scan with no
+    shuffle. Returns orders whose customer is NOT in the segment,
+    counted per order status."""
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey"],
+        filter=(_pc.field("c_mktsegment") == segment),
+    )
+    keys = cust.unique("c_custkey")
+    keyset_ref = ray.put(np.sort(np.array(keys, dtype=np.int64)))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keyset = _ray.get(keyset_ref)
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.searchsorted(keyset, ck)
+        pos = np.clip(pos, 0, len(keyset) - 1)
+        has_customer = keyset[pos] == ck
+        return t.filter(pa.array(~has_customer))
+
+    return (
+        orders.map_batches(anti, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_outside_orders"))
+    )
+
+
+def latest_order_per_customer(sf_dir: str):
+    """Grouped argmax WITHOUT map_groups: encode (orderdate, orderkey)
+    into one int64, take the grouped Max, decode — a fully vectorized
+    top-1-per-key (the window row_number()=1 pattern) whose shuffle
+    carries one int per key."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    ENC = 100_000_000  # orderkey < 1e8; epoch-days * ENC + orderkey
+
+    def encode(t: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.divide(pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000), "int64"
+        )
+        enc = pc.add(pc.multiply(days, pa.scalar(ENC)), t["o_orderkey"])
+        return pa.table({"o_custkey": t["o_custkey"], "enc": enc})
+
+    agg = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("enc", alias_name="enc"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        latest_key = pc.cast(
+            pc.subtract(t["enc"], pc.multiply(pc.divide(t["enc"], pa.scalar(ENC)), pa.scalar(ENC))),
+            "int64",
+        )
+        return pa.table({"o_custkey": t["o_custkey"], "latest_orderkey": latest_key})
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 def part_type_counts(sf_dir: str):
     """Distinct-style: grouped count over a categorical column."""
     import ray.data as rd

@@ -163,6 +163,71 @@ def token_count_bpe(sf_dir: str):
     return ds.map_batches(count, batch_format="pandas")
 
 
+_OCR_JUNK_RE = re.compile(r"\b[eac]{3,}\b", re.IGNORECASE)
+_MULTI_SPACE_RE = re.compile(r"\s{2,}")
+_MULTI_NL_RE = re.compile(r"(\n\s*){2,}")
+_PUNCT_SPACE_RE = re.compile(r"\s+([.,;:])")
+
+
+def ocr_postclean(sf_dir: str):
+    """The reference's legacy tesseract post-clean chain
+    (ocr-tesseract.cjs:31-35), order-preserving: strip [eac]{3,} junk
+    words, collapse space runs, collapse blank lines, re-attach
+    punctuation. Output the cleaned text's md5 + length (the full text
+    would bloat the compare; the hash pins every byte)."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.replace(_OCR_JUNK_RE, "", regex=True)
+        s = s.str.replace(_MULTI_SPACE_RE, " ", regex=True)
+        s = s.str.replace(_MULTI_NL_RE, "\n", regex=True)
+        s = s.str.replace(_PUNCT_SPACE_RE, r"\1", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "clean_len": s.str.len().astype("int64"),
+                "clean_md5": s.map(lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
+def document_merge(sf_dir: str):
+    """Row-to-document templating (the documentmerge sample family,
+    src/documentmerge/*): a fixed template rendered per customer row;
+    output the rendered document's hash (byte-exact vs the SQL oracle's
+    identical concatenation)."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    )
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        rendered = (
+            "Dear " + df["c_name"].astype(str)
+            + ", your " + df["c_mktsegment"].astype(str)
+            + " account balance is " + df["c_acctbal"].map("{:.2f}".format)
+            + "."
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"],
+                "doc_len": rendered.str.len().astype("int64"),
+                "doc_md5": rendered.map(lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()),
+            }
+        )
+
+    return ds.map_batches(render, batch_format="pandas")
+
+
 def token_freq(sf_dir: str, min_count: int = 50):
     """Corpus word frequency with per-batch pre-aggregation: each batch
     emits one (word, partial_count) row per DISTINCT word — the shuffle
