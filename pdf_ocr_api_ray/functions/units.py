@@ -44,6 +44,55 @@ def _raw_name(item: dict) -> str:
     return item.get("unidadeNome") or item.get("valor") or item.get("nome") or ""
 
 
+# Prepared-lookup cache: the dimension list is cleaned ONCE per list
+# object instead of once per lookup (the reference re-cleans per call,
+# normalizeUnidade.js:34-53 — pure overhead since the list is
+# broadcast-constant). Holding a reference to the list keeps its id()
+# stable for the cache key; semantics are unchanged (first-match order
+# preserved via setdefault insertion order).
+_PREP_CACHE: dict[int, tuple[list, dict, list]] = {}
+
+
+def _prepare(lista_unidades: list[dict]) -> tuple[dict, list]:
+    key = id(lista_unidades)
+    hit = _PREP_CACHE.get(key)
+    if hit is not None and hit[0] is lista_unidades:
+        return hit[1], hit[2]
+
+    exact: dict[str, int] = {}
+    for item in lista_unidades:
+        raw = _raw_name(item)
+        if not raw:
+            continue
+        partes = raw.split(" - ")
+        primeiro = (partes[0] or "").strip()
+        sigla_limpa = clean_ocr(
+            primeiro.split()[0] if " " in primeiro and primeiro.split() else primeiro
+        )
+        nome_limpo = clean_ocr(partes[1] if len(partes) > 1 else "")
+        # first item matching on either field wins (loop order in the
+        # reference) — setdefault keeps the earliest
+        exact.setdefault(sigla_limpa, item["id"])
+        exact.setdefault(nome_limpo, item["id"])
+
+    alias_classes: list[tuple[frozenset, int | None]] = []
+    for variantes in ALIASES.values():
+        tokens = frozenset(clean_ocr(v) for v in variantes)
+        resolved = None
+        for item in lista_unidades:
+            raw = _raw_name(item)
+            sigla = clean_ocr(raw.split(" - ")[0] or "")
+            if sigla in tokens:
+                resolved = item["id"]
+                break
+        alias_classes.append((tokens, resolved))
+
+    _PREP_CACHE[key] = (lista_unidades, exact, alias_classes)
+    if len(_PREP_CACHE) > 64:  # bound the cache (bench replicates lists)
+        _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
+    return exact, alias_classes
+
+
 def normalize_unidade(unidade_extraida: str | None, lista_unidades: list[dict] | None) -> int | None:
     """Resolve a raw unit token to a dimension-row id, else None."""
     if not unidade_extraida:
@@ -52,26 +101,15 @@ def normalize_unidade(unidade_extraida: str | None, lista_unidades: list[dict] |
         return None
 
     limpa = clean_ocr(unidade_extraida)
+    exact, alias_classes = _prepare(lista_unidades)
 
-    for item in lista_unidades:
-        raw = _raw_name(item)
-        if not raw:
-            continue
-        partes = raw.split(" - ")
-        primeiro = (partes[0] or "").strip()
-        sigla_limpa = clean_ocr(primeiro.split()[0] if " " in primeiro and primeiro.split() else primeiro)
-        nome_limpo = clean_ocr(partes[1] if len(partes) > 1 else "")
-        if sigla_limpa == limpa or (nome_limpo and nome_limpo == limpa):
-            return item["id"]
+    hit = exact.get(limpa)
+    if hit is not None:
+        return hit
 
-    for variantes in ALIASES.values():
-        if not any(clean_ocr(v) == limpa for v in variantes):
-            continue
-        for item in lista_unidades:
-            raw = _raw_name(item)
-            sigla = clean_ocr(raw.split(" - ")[0] or "")
-            if any(clean_ocr(v) == sigla for v in variantes):
-                return item["id"]
+    for tokens, resolved in alias_classes:
+        if limpa in tokens and resolved is not None:
+            return resolved
 
     return None
 
