@@ -25,6 +25,55 @@ def normalize_depara(lista: list[dict] | None, campo: str) -> list[dict]:
     return out
 
 
+def _normaliza_sigla(txt: str | None) -> str:
+    """mapBySigla's normalizer: uppercase, de-accent, strip ALL
+    whitespace (parser/mapBySigla.js:1-7 — note: no collapse, removal)."""
+    import re
+    import unicodedata
+
+    if txt is None:
+        return ""
+    s = unicodedata.normalize("NFD", txt.upper())
+    s = re.sub("[̀-ͯ]", "", s)
+    return re.sub(r"\s+", "", s)
+
+
+def map_by_sigla(valor: str | None, lista: list[dict] | None) -> int | None:
+    """Legacy sigla mapper (parser/mapBySigla.js:9-27, dead in the
+    reference server path but kept as an operator): first list row any
+    of whose ``siglas`` occurs as a substring of the normalized value."""
+    if not valor or not isinstance(lista, list):
+        return None
+    v = _normaliza_sigla(valor)
+    for item in lista:
+        siglas = item.get("siglas")
+        if not siglas:
+            continue
+        if any(_normaliza_sigla(s) in v for s in siglas):
+            return item["id"]
+    return None
+
+
+_LIXO_ITEM_RES = None
+
+
+def is_servico_valido(item: dict) -> bool:
+    """Legacy output filter (parser/formatFinalResponse.js:1-14): drop
+    records without Descricao or whose Item matches junk prefixes."""
+    global _LIXO_ITEM_RES
+    import re
+
+    if _LIXO_ITEM_RES is None:
+        _LIXO_ITEM_RES = [
+            re.compile(p, re.IGNORECASE)
+            for p in (r"^UF:", r"^CEP:", r"^Início da Obra", r"^Término da Obra", r"ENGENHEIRO")
+        ]
+    if not item.get("Descricao"):
+        return False
+    alvo = item.get("Item") or ""
+    return not any(rx.search(alvo) for rx in _LIXO_ITEM_RES)
+
+
 DEFAULT_UNIDADES = [
     {"id": 1, "unidadeNome": "M2 - Metro Quadrado"},
     {"id": 2, "unidadeNome": "M3 - Metro Cúbico"},

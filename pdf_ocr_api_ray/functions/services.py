@@ -32,7 +32,7 @@ from .units import detect_unidade, infer_unidade_from_descricao, normalize_unida
 
 _ITEM_RE = re.compile(r"^\d+(\.\d+)*$")
 _ITEM_PREFIX_RE = re.compile(r"^\d+(\.\d+)*")
-_QTD_SUFFIX_RE = re.compile(r"([\d.,]+)$")
+_QTD_SUFFIX_RE = re.compile(r"([\d.,]+)\Z")  # \Z not $: JS $ never matches before a trailing newline
 _TOTAL_RE = re.compile(r"^TOTAL\b")
 _CAT_SPLIT_RE = re.compile(
     r";\s*(?=\d+\s*-\s*(?:Execução|Coordenação|Elaboração|Planejamento|Projeto|obra|Obra|serviço|Serviço|técnico|Técnico))",
