@@ -289,6 +289,31 @@ def gen_f14_skew(rng: random.Random, b: _ChunkBuilder, n_chunks: int = 200) -> N
             b.body_row(f"{c}.{i + 1}", _desc(rng), rng.choice(_UNIDADES_COL), _qty(rng))
 
 
+def gen_f16_boundary_tipo(rng: random.Random, b: _ChunkBuilder) -> None:
+    """Adversarial: the certificate-type needle only exists ACROSS a
+    chunk boundary (normalization strips the joint, parseDocument.js
+    sees it in textoCompleto; the distributed reducer must recover it
+    from the compressed boundary strings — stages/parse.py docstring)."""
+    # chunk 0 ends mid-word; chunk 1 completes it; no council/kind
+    # token is whole within any single chunk
+    splits = [
+        ("Certidão de Acervo Téc", "nico emitida pelo CR", "EA regional"),
+        ("Acervo Operac", "ional do CF", "TA nacional"),
+        ("Documento CA", "T registrado no C", "AU estadual"),
+    ]
+    parts = rng.choice(splits)
+    # fragments must END/START their chunks so the needles only become
+    # contiguous after normalization strips the chunk joints
+    b.text(f"Nº {rng.randrange(10000, 999999)}/{rng.randrange(2010, 2026)}")
+    b.text(parts[0])
+    b.next_chunk()
+    b.text(parts[1])
+    b.next_chunk()
+    b.text(parts[2])
+    b.header_row("ITEM", "DESCRIÇÃO", "UNIDADE", "QUANTIDADE")
+    b.body_row("1", _desc(rng), "M2", _qty(rng))
+
+
 def gen_f15_empty_and_edge(rng: random.Random, b: _ChunkBuilder) -> None:
     roll = rng.random()
     if roll < 0.34:
@@ -316,6 +341,7 @@ _FAMILY_GENS = {
     "f13_media_interleaved": gen_f13_media_interleaved,
     "f14_skew": gen_f14_skew,
     "f15_empty_and_edge": gen_f15_empty_and_edge,
+    "f16_boundary_tipo": gen_f16_boundary_tipo,
 }
 
 FAMILIES = list(_FAMILY_GENS)

@@ -100,5 +100,10 @@ def test_determinism_same_seed():
     assert d1 != d3
 
 
+def test_f16_boundary_tipo_detected(results):
+    rs = _family(results, "f16_boundary_tipo")
+    assert rs and all(r["TipodaCertidao"] is not None for r in rs)
+
+
 def test_all_families_present():
-    assert len(FAMILIES) == 15
+    assert len(FAMILIES) == 16
