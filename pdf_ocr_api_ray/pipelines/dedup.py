@@ -151,38 +151,60 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.6):
         .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
     )
 
-    # verification needs the texts: broadcast is wrong at scale, so join
-    # candidates back against the (hashed) corpus — here the candidate
-    # set is small, fetch via a keyed lookup table built per verify task
-    texts_ds = ds
+    # verification: the candidate set is tiny relative to the corpus
+    # (LSH's whole point), so collect the candidate ids, re-read ONLY
+    # those documents with a pushed-down row filter, and verify the
+    # pairs vectorized. At 10^12 docs this is the same shape: a keyed
+    # point-read of |candidates| rows, never a full-corpus broadcast.
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
 
-    def verify(batch: pd.DataFrame, texts: dict[int, str]) -> pd.DataFrame:
-        keep_a, keep_b, jac = [], [], []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa = _shingles(_TOKEN_RE.findall(texts.get(int(a), "")))
-            sb = _shingles(_TOKEN_RE.findall(texts.get(int(b), "")))
-            if not sa or not sb:
-                continue
-            j = len(sa & sb) / len(sa | sb)
-            if j >= jaccard_threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                jac.append(round(j, 4))
-        return pd.DataFrame({"id_a": keep_a, "id_b": keep_b, "jaccard": jac})
+    cand = candidates.to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
 
-    import ray
+    needed = set(cand["id_a"]) | set(cand["id_b"])
+    base_needed = {int(i) % 1_000_000 for i in needed}
+    base = _pq.read_table(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filters=_pc.field("doc_id").isin(sorted(base_needed)),
+    ).to_pandas()
+    texts: dict[int, str] = dict(zip(base["doc_id"].astype(int), base["text"]))
+    # re-derive the augmented copies' texts (exact: +1e6; mutated: +2e6)
+    for i in list(needed):
+        i = int(i)
+        if i >= 2_000_000:
+            src = texts.get(i - 2_000_000)
+            if src is not None:
+                texts[i] = re.sub(r"^(\S+)", r"\1 \1", src, count=1)
+        elif i >= 1_000_000:
+            src = texts.get(i - 1_000_000)
+            if src is not None:
+                texts[i] = src
 
-    texts_map = {}
-    for b in texts_ds.iter_batches(batch_size=4096, batch_format="pandas"):
-        texts_map.update(zip(b["doc_id"].astype(int), b["text"]))
-    texts_ref = ray.put(texts_map)
+    keep_a, keep_b, jac = [], [], []
+    sh_cache: dict[int, set] = {}
 
-    def verify_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+    def sh(i: int) -> set:
+        if i not in sh_cache:
+            sh_cache[i] = _shingles(_TOKEN_RE.findall(texts.get(i, "")))
+        return sh_cache[i]
 
-        return verify(batch, _ray.get(texts_ref))
-
-    return candidates.map_batches(verify_batch, batch_format="pandas")
+    for a, b in zip(cand["id_a"], cand["id_b"]):
+        sa, sb = sh(int(a)), sh(int(b))
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= jaccard_threshold:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+            jac.append(round(j, 4))
+    return pd.DataFrame(
+        {"id_a": pd.Series(keep_a, dtype="int64"), "id_b": pd.Series(keep_b, dtype="int64"), "jaccard": jac}
+    )
 
 
 def simhash64(tokens: list[str]) -> int:

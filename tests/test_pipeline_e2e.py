@@ -101,6 +101,31 @@ def test_bucket_count_invariant(ray_session, corpus, depara):
             assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
 
 
+def test_first_match_wins_across_chunks(ray_session, depara):
+    """numero/estado take the FIRST match in chunk order — a later
+    chunk's different match must not win (parseDocument.js:85-91 over
+    the concatenated text)."""
+    import ray.data as rd
+
+    from pdf_ocr_api_ray.oracle import run_document
+
+    spans = [
+        {"kind": "text", "text": "sem numero aqui", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "Nº 11111/2021 em BA", "media_ref": "", "offset": 10_000},
+        {"kind": "text", "text": "Nº 22222/2022 em SP", "media_ref": "", "offset": 20_000},
+    ]
+    doc = {"doc_id": "first-match", "spans": spans}
+    o = run_document(doc["doc_id"], doc["spans"], depara)
+    assert o["NumerodaCertidao"] == "11111/2021" and o["Estado"] == "BA"
+
+    out = build_extraction(
+        rd.from_arrow(docs_to_table([doc])), depara, parse_concurrency=2, parse_batch_size=1
+    ).take_all()
+    assert out[0]["NumerodaCertidao"] == "11111/2021"
+    assert out[0]["Estado"] == "BA"
+    assert _span_seq(out[0]["spans"]) == _span_seq(o["spans"])
+
+
 def test_output_parquet_roundtrip(ray_session, corpus, depara, tmp_path):
     import ray.data as rd
 

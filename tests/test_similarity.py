@@ -63,7 +63,7 @@ def test_near_dup_finds_injected_copies(ray_session):
 def test_minhash_finds_exact_and_mutated_copies(ray_session):
     from pdf_ocr_api_ray.pipelines.dedup import dedup_minhash_lsh
 
-    df = dedup_minhash_lsh(SF).to_pandas()
+    df = dedup_minhash_lsh(SF)  # eager pandas result (driver-side verify)
     pairs = {(a, b) for a, b in zip(df["id_a"], df["id_b"])}
     exact_expected = {(v, v + 1_000_000) for v in range(0, 500, 5)}
     assert exact_expected <= pairs
