@@ -33,15 +33,54 @@ def _manifest_path(out_dir: str) -> str:
 
 
 def completed_partitions(out_dir: str) -> set[int]:
+    """Partitions recorded as DONE; error lines (status='error') are
+    retried on resume — the reference's per-job error status analogue
+    (server.cjs:86-92), but at partition granularity and retryable."""
     path = _manifest_path(out_dir)
     done: set[int] = set()
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 line = line.strip()
-                if line:
-                    done.add(json.loads(line)["partition"])
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec.get("status", "done") == "done":
+                    done.add(rec["partition"])
     return done
+
+
+def _stage_metrics(ds) -> dict:
+    """Compact per-stage metrics parsed from ds.stats(): wall seconds
+    and total remote-task seconds per operator (the north_rule's
+    per-stage metrics sidecar — pages/sec derives from these + counts)."""
+    import re as _re
+
+    metrics: dict[str, dict] = {}
+    current = None
+    try:
+        for line in ds.stats().splitlines():
+            m = _re.match(r"Operator (\d+) (\S+).*?in ([\d.]+)s", line)
+            if m:
+                current = f"{m.group(1)}:{m.group(2)[:60]}"
+                metrics[current] = {"wall_s": float(m.group(3))}
+                continue
+            m = _re.match(r"Operator (\d+) (\S+)", line)
+            if m and line.startswith("Operator"):
+                current = f"{m.group(1)}:{m.group(2)[:60]}"
+                metrics.setdefault(current, {})
+                continue
+            if current and "Remote wall time" in line:
+                t = _re.search(r"([\d.]+)(us|ms|s) total", line)
+                if t:
+                    val = float(t.group(1))
+                    scale = {"us": 1e-6, "ms": 1e-3, "s": 1.0}[t.group(2)]
+                    metrics[current]["remote_total_s"] = round(
+                        metrics[current].get("remote_total_s", 0.0) + val * scale, 3
+                    )
+    except Exception:
+        pass  # metrics are best-effort; never fail the partition for them
+    return metrics
 
 
 def run_checkpointed(
@@ -92,9 +131,25 @@ def run_checkpointed(
             import shutil
 
             shutil.rmtree(tmp_dir)
-        out.write_parquet(tmp_dir)
-        n_docs = sum(1 for _ in open_part_rows(tmp_dir))
-        os.rename(tmp_dir, final_dir)
+        try:
+            out.write_parquet(tmp_dir)
+            n_docs = sum(1 for _ in open_part_rows(tmp_dir))
+            os.rename(tmp_dir, final_dir)
+        except Exception as exc:  # record and continue — retried on resume
+            with open(_manifest_path(out_dir), "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "partition": p,
+                            "status": "error",
+                            "input_path": input_path,
+                            "error": f"{type(exc).__name__}: {exc}"[:500],
+                            "at": time.time(),
+                        }
+                    )
+                    + "\n"
+                )
+            continue
 
         wall = time.time() - t0
         with open(_manifest_path(out_dir), "a") as f:
@@ -102,11 +157,13 @@ def run_checkpointed(
                 json.dumps(
                     {
                         "partition": p,
+                        "status": "done",
                         "input_path": input_path,
                         "num_partitions": num_partitions,
                         "n_docs": n_docs,
                         "wall_s": round(wall, 3),
                         "docs_per_s": round(n_docs / wall, 2) if wall > 0 else None,
+                        "stages": _stage_metrics(out),
                         "completed_at": time.time(),
                     }
                 )

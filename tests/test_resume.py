@@ -67,11 +67,25 @@ def test_manifest_lineage_and_metrics(ray_session, input_parquet, tmp_path, depa
     lines = [json.loads(x) for x in open(os.path.join(out_dir, "manifest.jsonl"))]
     assert len(lines) == 2
     for line in lines:
+        assert line["status"] == "done"
         assert line["input_path"] == path
         assert line["n_docs"] > 0
         assert line["wall_s"] > 0
         assert line["docs_per_s"] > 0
+        assert line["stages"], "per-stage metrics missing"
+        assert any("wall_s" in v for v in line["stages"].values())
     assert sum(l["n_docs"] for l in lines) == len(docs)
+
+
+def test_error_lines_are_retried(tmp_path):
+    from pdf_ocr_api_ray.state.checkpoint import completed_partitions
+
+    out_dir = str(tmp_path / "err")
+    os.makedirs(out_dir)
+    with open(os.path.join(out_dir, "manifest.jsonl"), "w") as f:
+        f.write(json.dumps({"partition": 0, "status": "done"}) + "\n")
+        f.write(json.dumps({"partition": 1, "status": "error", "error": "boom"}) + "\n")
+    assert completed_partitions(out_dir) == {0}
 
 
 def test_partition_assignment_stable():
