@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": events.running_total,
         "sessionize": events.sessionize,
         "asof_last_order": events.asof_last_order,
+        "systematic_sample": events.systematic_sample,
+        "union_parties": events.union_parties,
         # text analysis
         "doc_stats": text.doc_stats,
         "lang_id": text.lang_id,
@@ -270,6 +272,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(od.o_orderkey, -1) AS last_orderkey
             FROM events e
             ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        """,
+        "systematic_sample": """
+            SELECT event_type, count(*) AS n_sampled,
+                   round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
+            FROM events WHERE event_id % 17 = 0
+            GROUP BY event_type
+        """,
+        "union_parties": """
+            SELECT kind, nationkey, count(*) AS n_parties FROM (
+                SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+            ) GROUP BY kind, nationkey
         """,
         "doc_stats": r"""
             SELECT doc_id,

@@ -69,6 +69,72 @@ def running_total(sf_dir: str):
     return ds.groupby("user_id").map_groups(scan, batch_format="pandas")
 
 
+def systematic_sample(sf_dir: str, k: int = 17):
+    """Deterministic 1-in-k systematic sample (event_id % k == 0) with
+    summary stats — the reproducible-sampling pattern (a random sample
+    with a seed is engine-specific; a key-modulo sample is portable and
+    restartable)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        # modulo isn't a scan-pushdown expression — vectorized in-map
+        keep = (t["event_id"].to_numpy(zero_copy_only=False) % k) == 0
+        t = t.filter(pa.array(keep))
+        vu = pa.array(
+            np.floor(t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5).astype(np.int64)
+        )
+        return pa.table({"event_type": t["event_type"], "value_u": vu})
+
+    agg = (
+        ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_sampled"), Sum("value_u", alias_name="value_u"))
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = round_half_away(pd.Series(df["value_u"] / 1e6), 2)
+        return df.drop(columns=["value_u"])
+
+    return agg.map_batches(derive, batch_format="pandas")
+
+
+def union_parties(sf_dir: str):
+    """Set-op coverage: union two keyed tables (customers ∪ suppliers)
+    with a side tag and aggregate — ``Dataset.union`` + groupby."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "nationkey": t["c_nationkey"],
+                "kind": pa.array(["customer"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "nationkey": t["s_nationkey"],
+                "kind": pa.array(["supplier"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp).groupby(["kind", "nationkey"]).aggregate(
+        Count(alias_name="n_parties")
+    )
+
+
 SESSION_GAP_MIN = 30
 
 
