@@ -163,6 +163,75 @@ def run_bench() -> dict:
     return result
 
 
+def run_skew() -> dict:
+    """Skew evidence: the same corpus with ONE multi-thousand-chunk
+    outlier document appended (the reference's unhandled failure mode —
+    a giant doc serializes its whole chunk loop, processJob.js:74-87).
+    Reports the wall-time overhead ratio vs the clean corpus; the
+    batch-combine + bucketed reassembly should keep it near 1.0."""
+    import shutil
+    import time as _time
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pdf_ocr_api_ray.pipelines.extraction import build_extraction
+    from pdf_ocr_api_ray.schemas import INPUT_SCHEMA
+    from pdf_ocr_api_ray.sources.fixtures import generate_doc
+
+    corpus_path, n_docs, n_chunks = build_corpus()
+    skew_path = corpus_path + "_skew"
+    if not os.path.exists(skew_path):
+        os.makedirs(skew_path)
+        for f in os.listdir(corpus_path):
+            os.link(os.path.join(corpus_path, f), os.path.join(skew_path, f))
+        giant = generate_doc("f14_skew", 0, n_chunks=2000)
+        giant["doc_id"] = "giant-outlier"
+        pq_.write_table(
+            pa.Table.from_pylist([giant], schema=INPUT_SCHEMA),
+            os.path.join(skew_path, "part-giant.parquet"),
+        )
+
+    rd.read_parquet(corpus_path).count()  # warm
+
+    def run(path: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            shutil.rmtree("/tmp/graft_skew_out", ignore_errors=True)
+            t0 = _time.time()
+            build_extraction(rd.read_parquet(path)).write_parquet("/tmp/graft_skew_out")
+            best = min(best, _time.time() - t0)
+        return best
+
+    clean_s = run(corpus_path)
+    skew_s = run(skew_path)
+    ray.shutdown()
+    return {
+        "metric": "skew_overhead_ratio",
+        "value": round(skew_s / clean_s, 3),
+        "unit": "ratio",
+        "clean_sec": round(clean_s, 3),
+        "skew_sec": round(skew_s, 3),
+        "outlier_chunks": 2000,
+        "n_docs": n_docs,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling() -> dict:
     """Same headline job at 8 and 32 CPUs in fresh processes."""
 
@@ -214,5 +283,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))
