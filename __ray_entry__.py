@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # similarity / embeddings
         "ann_topk": similarity.ann_topk,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
         "embedding_near_dup": similarity.embedding_near_dup,
         # multimodal plumbing (stubbed decode)
         "media_features": media.media_features,

@@ -40,6 +40,8 @@ def build_extraction(
     *,
     parse_concurrency: int | tuple[int, int] | None = None,
     parse_batch_size: int = 64,
+    parse_num_cpus: float = 1,
+    parse_num_gpus: float = 0,
     num_buckets: int = NUM_BUCKETS,
 ) -> "ray.data.Dataset":
     """Compose the extraction DAG over an input Dataset of spans rows.
@@ -68,13 +70,19 @@ def build_extraction(
             parse_chunks, batch_format="pyarrow", batch_size=parse_batch_size
         )
     else:
+        # actor-pool path for model-backed OCR/layout stages: weights
+        # load once per actor; num_gpus>0 makes Ray schedule the pool on
+        # GPU nodes (fractional values pack several actors per device)
+        remote_args = {"num_cpus": parse_num_cpus}
+        if parse_num_gpus:
+            remote_args["num_gpus"] = parse_num_gpus
         parsed = chunks.map_batches(
             ChunkParser,
             fn_constructor_kwargs={"depara": depara},
             batch_format="pyarrow",
             batch_size=parse_batch_size,
             concurrency=parse_concurrency,
-            num_cpus=1,
+            **remote_args,
         )
     partials = parsed.map_batches(make_batch_combine(num_buckets), batch_format="pyarrow")
     assembler = BucketAssembler(depara)

@@ -102,6 +102,7 @@ def test_rows_only_queries_run(ray_session, entry_mod):
         "extract_documents",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "ann_topk_lsh",
         "span_split",
         "span_combine",
         "span_delete",
