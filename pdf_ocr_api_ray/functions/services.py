@@ -136,15 +136,20 @@ def _parse_tables(doc: dict, depara: dict) -> list[dict]:
                     continue
 
                 if has_service_shape:
-                    item_raw = cells[idx["idxItem"]] if idx["idxItem"] != -1 else None
+                    # JS indexing past the row's cells yields undefined →
+                    # null (rows can be shorter than the header)
+                    def cell_at(i: int):
+                        return cells[i] if 0 <= i < len(cells) else None
+
+                    item_raw = cell_at(idx["idxItem"]) if idx["idxItem"] != -1 else None
                     item = item_raw if item_raw and _ITEM_RE.match(item_raw) else None
                     descricao = (
-                        cells[idx["idxDescricao"]]
+                        cell_at(idx["idxDescricao"])
                         if idx["idxDescricao"] != -1
                         else (cells[0] if cells else None)
                     ) or None
-                    unidade_raw = (cells[idx["idxUnidade"]] if idx["idxUnidade"] != -1 else None) or None
-                    quantidade = (cells[idx["idxQuantidade"]] if idx["idxQuantidade"] != -1 else None) or None
+                    unidade_raw = (cell_at(idx["idxUnidade"]) if idx["idxUnidade"] != -1 else None) or None
+                    quantidade = (cell_at(idx["idxQuantidade"]) if idx["idxQuantidade"] != -1 else None) or None
 
                     desc_norm = normalize_header(descricao or "")
                     if not descricao and not item:
