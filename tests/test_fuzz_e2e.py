@@ -25,14 +25,25 @@ _KINDS = ["text", "text", "text", "table_header", "table_cell", "table_cell", "p
 
 def _fuzz_doc(i: int) -> dict:
     rng = random.Random(("fuzz", i).__repr__())
+    mode = i % 4
     n = rng.randrange(0, 25)
     spans = []
-    for _ in range(n):
+    for k in range(n):
         kind = rng.choice(_KINDS)
-        words = [rng.choice(_WORDS) for _ in range(rng.randrange(0, 8))]
-        sep = rng.choice([" ", "\t", "\n", ""])
-        text = sep.join(words)
-        offset = rng.randrange(0, 45_000)  # random chunks incl. duplicates
+        if mode == 2:
+            # boundary-dense: fragments that only complete across chunks
+            text = rng.choice(["Acervo Téc", "nico", "CR", "EA", "CF", "TA", "C", "AU", "CA", "T"])
+            offset = k * 10_000 + rng.randrange(0, 3)  # every span its own chunk-ish
+        elif mode == 3:
+            # header-cap straddling: long text around the 8,000-char cap
+            filler = rng.choice(["x", "Execução ", "Hospital "])
+            text = filler * rng.randrange(700, 1200) + rng.choice(_WORDS)
+            offset = rng.randrange(0, 25_000)
+        else:
+            words = [rng.choice(_WORDS) for _ in range(rng.randrange(0, 8))]
+            sep = rng.choice([" ", "\t", "\n", ""])
+            text = sep.join(words)
+            offset = rng.randrange(0, 45_000)  # random chunks incl. duplicates
         ref = rng.choice(["", f"mem://f{i}/p{rng.randrange(5)}", "junk ref"])
         spans.append({"kind": kind, "text": text, "media_ref": ref, "offset": offset})
     return {"doc_id": f"fuzz-{i:04d}", "spans": spans}
