@@ -84,6 +84,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_ocr_api_ray.pipelines import (
+        bytesops,
         dedup,
         events,
         media,
@@ -141,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_reorder": spanops.reorder_chunks,
         "span_watermark": spanops.watermark,
         "span_properties": spanops.span_properties,
+        # byte-transform families (compress/protect analogues; rows-only,
+        # round-trip integrity pinned by tests/test_bytesops.py)
+        "compress_payloads": bytesops.compress_payloads,
+        "protect_payloads": bytesops.protect_payloads,
     }
 
 

@@ -1,0 +1,93 @@
+"""Per-document byte transforms — the compress/protect/linearize sample
+families (SURVEY.md §2.3: src/compresspdf/*, src/protectpdf/*,
+src/linearizepdf/*) over real binary payloads.
+
+The corpus has no PDF bytes, so the payload column is derived
+deterministically (utf-8 of the text — the transform plumbing is what
+the family defines: opaque bytes in → params → opaque bytes out, as a
+stateless vectorized map). All ops run zlib/hashlib kernels per batch;
+round-trip integrity is the test oracle (tests/test_bytesops.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _payload_ds(sf_dir: str):
+    """documents → (doc_id, payload: binary) — the opaque-bytes column."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_bytes(t: pa.Table) -> pa.Table:
+        payload = pa.array([x.encode("utf-8") for x in t["text"].to_pylist()], pa.binary())
+        return pa.table({"doc_id": t["doc_id"], "payload": payload})
+
+    return ds.map_batches(to_bytes, batch_format="pyarrow")
+
+
+def compress_payloads(sf_dir: str, level: int = 6):
+    """compresspdf analogue: deflate each payload; emit sizes + ratio +
+    the compressed bytes' sha256 (deterministic for fixed level)."""
+    ds = _payload_ds(sf_dir)
+
+    def compress(t: pa.Table) -> pa.Table:
+        raw = t["payload"].to_pylist()
+        comp = [zlib.compress(b, level) for b in raw]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "raw_len": pa.array([len(b) for b in raw], pa.int64()),
+                "compressed_len": pa.array([len(c) for c in comp], pa.int64()),
+                "compressed_sha": pa.array(
+                    [hashlib.sha256(c).hexdigest()[:16] for c in comp], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(compress, batch_format="pyarrow")
+
+
+def protect_payloads(sf_dir: str, password: str = "owner-pass"):
+    """protectpdf analogue: keyed transform of the payload (HMAC-keyed
+    stream XOR — stand-in for AES_256; the pipeline shape is the point)
+    + removeprotection round-trip marker."""
+    ds = _payload_ds(sf_dir)
+    key = hashlib.sha256(password.encode()).digest()
+
+    def keystream(n: int, nonce: bytes) -> bytes:
+        out = bytearray()
+        counter = 0
+        while len(out) < n:
+            out += hashlib.sha256(key + nonce + counter.to_bytes(4, "big")).digest()
+            counter += 1
+        return bytes(out[:n])
+
+    def protect(df: pd.DataFrame) -> pd.DataFrame:
+        protected = []
+        restored_ok = []
+        for doc_id, b in zip(df["doc_id"], df["payload"]):
+            nonce = str(doc_id).encode()
+            ks = keystream(len(b), nonce)
+            enc = bytes(x ^ y for x, y in zip(b, ks))
+            dec = bytes(x ^ y for x, y in zip(enc, ks))
+            protected.append(hashlib.sha256(enc).hexdigest()[:16])
+            restored_ok.append(dec == b)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "protected_sha": protected,
+                "roundtrip_ok": restored_ok,
+            }
+        )
+
+    return ds.map_batches(protect, batch_format="pandas")

@@ -103,6 +103,8 @@ def test_rows_only_queries_run(ray_session, entry_mod):
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_topk_lsh",
+        "compress_payloads",
+        "protect_payloads",
         "span_split",
         "span_combine",
         "span_delete",
