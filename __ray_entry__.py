@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_reorder": spanops.reorder_chunks,
         "span_watermark": spanops.watermark,
         "span_properties": spanops.span_properties,
+        "extract_layout": spanops.extract_layout,
         # byte-transform families (compress/protect analogues; rows-only,
         # round-trip integrity pinned by tests/test_bytesops.py)
         "compress_payloads": bytesops.compress_payloads,

@@ -250,6 +250,37 @@ def span_properties(sf_dir: str):
     return ds.map_batches(props, batch_format="pyarrow")
 
 
+def extract_layout(sf_dir: str):
+    """Structured layout extraction (extractpdf family + the reference's
+    lib/extractLayout.js): one Adobe-Extract-style element row per
+    table/paragraph-block/figure per chunk."""
+    import pyarrow as pa
+
+    from ..functions.layout import extract_elements
+    from ..functions.ocr import spans_to_documents
+
+    ds = _spans_corpus(sf_dir)
+
+    ELEMENTS_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("path", pa.string()),
+            ("page", pa.int32()),
+            ("num_rows", pa.int32()),
+            ("num_cols", pa.int32()),
+        ]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for doc in spans_to_documents(r["spans"] or []):
+                rows.extend(extract_elements(r["doc_id"], doc["chunk_idx"], doc))
+        return pa.Table.from_pylist(rows, schema=ELEMENTS_SCHEMA)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _project_counts(ds):
     """Compact rows-only result: per-doc span count + offset checksum
     (stable fingerprint of the surgery result)."""

@@ -111,6 +111,7 @@ def test_rows_only_queries_run(ray_session, entry_mod):
         "span_reorder",
         "span_watermark",
         "span_properties",
+        "extract_layout",
     }
     for name in rows_only:
         df = _to_pandas(q[name](SF_DIR))

@@ -95,6 +95,33 @@ def test_span_properties_values(ray_session):
         assert row["n_chunks"] == exp_chunks
 
 
+def test_extract_tables_reference_shape():
+    from pdf_ocr_api_ray.functions.layout import extract_tables, extract_text
+    from pdf_ocr_api_ray.functions.ocr import spans_to_document
+
+    spans = [
+        _sp("text", "intro", 0),
+        _sp("table_header", "ITEM\tDESC", 1),
+        _sp("table_cell", "1\tEscavação", 2),
+        _sp("table_cell", "2\t", 3),
+    ]
+    doc = spans_to_document(spans)
+    assert extract_text(doc).startswith("intro")
+    tables = extract_tables(doc)
+    assert tables[0]["page"] == 1 and tables[0]["table"] == 1
+    # body rows only; empty cell stays '' (not None) — extractLayout.js
+    assert tables[0]["rows"] == [["1", "Escavação"], ["2", ""]]
+
+
+def test_extract_layout_query(ray_session):
+    from pdf_ocr_api_ray.pipelines.spanops import extract_layout
+
+    df = extract_layout(SF).to_pandas()
+    assert set(df["path"]) <= {"//Document/Sect/Table", "//Document/Sect/P", "//Document/Sect/Figure"}
+    assert (df[df["path"] == "//Document/Sect/Table"]["num_cols"] > 0).all()
+    assert len(df) > 400
+
+
 def test_combine_docs_groups(ray_session):
     df = spanops.combine_docs(SF).to_pandas()
     assert df["doc_id"].str.startswith("group-").all()
