@@ -116,8 +116,11 @@ def run_checkpointed(
         ds = rd.read_parquet(input_path)
 
         def keep_partition(t: pa.Table, _p: int = p) -> pa.Table:
+            # input validation (the reference 400s jobs without an id,
+            # server.cjs:45-51): rows with a null/empty doc_id are
+            # dropped from every partition (quarantine)
             mask = [
-                partition_of(d, num_partitions) == _p
+                d is not None and d != "" and partition_of(d, num_partitions) == _p
                 for d in t.column("doc_id").to_pylist()
             ]
             return t.filter(pa.array(mask))
@@ -133,6 +136,10 @@ def run_checkpointed(
             shutil.rmtree(tmp_dir)
         try:
             out.write_parquet(tmp_dir)
+            # an empty partition writes no files (and possibly no dir);
+            # it is still DONE — materialize the empty dir so the
+            # rename/manifest flow is uniform
+            os.makedirs(tmp_dir, exist_ok=True)
             n_docs = sum(1 for _ in open_part_rows(tmp_dir))
             os.rename(tmp_dir, final_dir)
         except Exception as exc:  # record and continue — retried on resume
