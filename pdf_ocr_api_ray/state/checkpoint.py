@@ -83,6 +83,18 @@ def _stage_metrics(ds) -> dict:
     return metrics
 
 
+def _input_shards(input_path: str) -> list[str] | None:
+    """Parquet files of a sharded input directory (None for one file)."""
+    if not os.path.isdir(input_path):
+        return None
+    files = sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
+    return files or None
+
+
 def run_checkpointed(
     input_path: str,
     out_dir: str,
@@ -92,6 +104,14 @@ def run_checkpointed(
     **pipeline_kwargs,
 ) -> dict:
     """Run (or resume) the extraction over ``input_path``.
+
+    Partitioning strategy (the resume unit and the read-pruning unit):
+    - sharded input directory with ≥ num_partitions files → partition
+      p owns files [p::num_partitions] and READS ONLY THOSE — a resumed
+      run never re-scans completed shards (the "one directory per input
+      shard" layout the output also uses);
+    - single file / few shards → fallback to hashing doc_id per row
+      (every partition scans the input but keeps only its rows).
 
     ``max_partitions`` limits how many pending partitions this call
     processes (used by the kill-and-resume test to simulate a crash).
@@ -105,6 +125,8 @@ def run_checkpointed(
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
     processed = []
+    shards = _input_shards(input_path)
+    use_shards = shards is not None and len(shards) >= num_partitions
 
     for p in range(num_partitions):
         if p in done:
@@ -113,19 +135,30 @@ def run_checkpointed(
             break
 
         t0 = time.time()
-        ds = rd.read_parquet(input_path)
 
-        def keep_partition(t: pa.Table, _p: int = p) -> pa.Table:
+        def validate(t: pa.Table) -> pa.Table:
             # input validation (the reference 400s jobs without an id,
-            # server.cjs:45-51): rows with a null/empty doc_id are
-            # dropped from every partition (quarantine)
-            mask = [
-                d is not None and d != "" and partition_of(d, num_partitions) == _p
-                for d in t.column("doc_id").to_pylist()
-            ]
+            # server.cjs:45-51): null/empty doc_id rows are quarantined
+            mask = [d is not None and d != "" for d in t.column("doc_id").to_pylist()]
             return t.filter(pa.array(mask))
 
-        part_ds = ds.map_batches(keep_partition, batch_format="pyarrow")
+        if use_shards:
+            part_files = shards[p::num_partitions]
+            ds = rd.read_parquet(part_files)
+            part_ds = ds.map_batches(validate, batch_format="pyarrow")
+        else:
+            ds = rd.read_parquet(input_path)
+
+            def keep_partition(t: pa.Table, _p: int = p) -> pa.Table:
+                t = validate(t)
+                mask = [
+                    partition_of(d, num_partitions) == _p
+                    for d in t.column("doc_id").to_pylist()
+                ]
+                return t.filter(pa.array(mask))
+
+            part_ds = ds.map_batches(keep_partition, batch_format="pyarrow")
+
         out = build_extraction(part_ds, depara, **pipeline_kwargs)
 
         final_dir = os.path.join(out_dir, f"part={p}")
@@ -167,6 +200,7 @@ def run_checkpointed(
                         "status": "done",
                         "input_path": input_path,
                         "num_partitions": num_partitions,
+                        "shards": shards[p::num_partitions] if use_shards else None,
                         "n_docs": n_docs,
                         "wall_s": round(wall, 3),
                         "docs_per_s": round(n_docs / wall, 2) if wall > 0 else None,

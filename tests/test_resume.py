@@ -92,3 +92,32 @@ def test_partition_assignment_stable():
     assert partition_of("doc-x", 8) == partition_of("doc-x", 8)
     spread = {partition_of(f"doc-{i}", 8) for i in range(100)}
     assert len(spread) == 8
+
+
+def test_shard_mode_resume(ray_session, depara, tmp_path):
+    """Sharded-directory input: partitions own file slices (read
+    pruning), and kill-and-resume still completes exactly once."""
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.sources.fixtures import docs_to_table, generate_fixture_docs
+
+    docs = generate_fixture_docs(families=["f1_table_basic", "f13_media_interleaved"], docs_per_family=12)
+    in_dir = tmp_path / "sharded"
+    in_dir.mkdir()
+    tbl = docs_to_table(docs)
+    per = 4
+    for i in range(0, tbl.num_rows, per):
+        pq.write_table(tbl.slice(i, per), str(in_dir / f"shard-{i:03d}.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    r1 = run_checkpointed(str(in_dir), out_dir, num_partitions=3, depara=depara, max_partitions=1)
+    assert r1["processed"] == [0]
+    r2 = run_checkpointed(str(in_dir), out_dir, num_partitions=3, depara=depara)
+    assert r2["skipped"] == [0] and sorted(r2["processed"]) == [1, 2]
+
+    table = read_output(out_dir)
+    assert table.num_rows == len(docs)
+    assert sorted(table.column("doc_id").to_pylist()) == sorted(d["doc_id"] for d in docs)
+
+    lines = [json.loads(x) for x in open(os.path.join(out_dir, "manifest.jsonl"))]
+    assert all(line["shards"] for line in lines)  # lineage records file slices
