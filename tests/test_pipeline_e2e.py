@@ -137,3 +137,32 @@ def test_output_parquet_roundtrip(ray_session, corpus, depara, tmp_path):
     assert back.num_rows == len(sample)
     for r in back.to_pylist():
         assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
+
+
+def test_large_payload_docs(ray_session, depara):
+    """Multi-megabyte span payloads must stream through without
+    crashing block handling, and still match the oracle (the
+    'large binary rows need small batches' regime — here ~2 MB text
+    spans standing in for decoded page payloads)."""
+    import ray.data as rd
+
+    from pdf_ocr_api_ray.oracle import run_document
+
+    big = "palavra " * 250_000  # ~2 MB per span
+    docs = []
+    for i in range(6):
+        spans = [
+            {"kind": "text", "text": f"Certidão de Acervo Técnico Nº 5555{i}/2021 CREA-BA", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": big, "media_ref": "", "offset": 1},
+            {"kind": "table_header", "text": "ITEM\tDESCRIÇÃO\tUNIDADE\tQUANTIDADE", "media_ref": "", "offset": 10_000},
+            {"kind": "table_cell", "text": f"1\tobra {i}\tM2\t10,00", "media_ref": "", "offset": 10_001},
+        ]
+        docs.append({"doc_id": f"big-{i}", "spans": spans})
+    oracle = {d["doc_id"]: run_document(d["doc_id"], d["spans"], depara) for d in docs}
+    out = build_extraction(
+        rd.from_arrow(docs_to_table(docs)), depara, parse_batch_size=2
+    ).take_all()
+    assert len(out) == 6
+    for r in out:
+        assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
+        assert r["NumerodaCertidao"] is not None
