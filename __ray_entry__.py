@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": events.asof_last_order,
         "systematic_sample": events.systematic_sample,
         "union_parties": events.union_parties,
+        "json_props_stats": events.json_props_stats,
         # text analysis
         "doc_stats": text.doc_stats,
         "lang_id": text.lang_id,
@@ -279,6 +280,12 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(od.o_orderkey, -1) AS last_orderkey
             FROM events e
             ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        """,
+        "json_props_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "systematic_sample": """
             SELECT event_type, count(*) AS n_sampled,

@@ -135,6 +135,33 @@ def union_parties(sf_dir: str):
     )
 
 
+def json_props_stats(sf_dir: str):
+    """JSON scalar extraction (the reference's only JSON op is
+    JSON.parse of the GPT reply, gpt/extractHeader.js:121): parse the
+    ``props`` JSON column, extract ``k``, and aggregate per event type
+    — vectorized pandas json load per batch; DuckDB json_extract oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        df["k"] = df["props"].map(lambda s: int(_json.loads(s)["k"])).astype("int64")
+        return df[["event_type", "k"]]
+
+    return (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
 SESSION_GAP_MIN = 30
 
 
