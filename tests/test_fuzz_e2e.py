@@ -43,7 +43,9 @@ def _fuzz_doc(i: int) -> dict:
             words = [rng.choice(_WORDS) for _ in range(rng.randrange(0, 8))]
             sep = rng.choice([" ", "\t", "\n", ""])
             text = sep.join(words)
-            offset = rng.randrange(0, 45_000)  # random chunks incl. duplicates
+            # negative offsets are schema-legal; floor-division chunk
+            # assignment must agree between oracle and explode stage
+            offset = rng.randrange(-5_000, 45_000)  # random chunks incl. duplicates
         ref = rng.choice(["", f"mem://f{i}/p{rng.randrange(5)}", "junk ref"])
         spans.append({"kind": kind, "text": text, "media_ref": ref, "offset": offset})
     return {"doc_id": f"fuzz-{i:04d}", "spans": spans}
