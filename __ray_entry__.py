@@ -85,6 +85,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_ocr_api_ray.pipelines import (
         bytesops,
+        prep,
         dedup,
         events,
         media,
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "training_prep": prep.training_prep,
         # similarity / embeddings
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,
@@ -380,6 +382,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = id_a
             JOIN cnt cb ON cb.doc_id = id_b
             WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        """,
+        "training_prep": r"""
+            WITH scored AS (
+                SELECT doc_id, lang, md5(text) AS content_hash,
+                       len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+                       round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+                             / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
+                             + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
+                             4) AS quality
+                FROM documents
+            ), survivors AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            )
+            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+            FROM survivors WHERE quality >= 0.3
+            GROUP BY lang
         """,
         "ann_topk": """
             WITH probes AS (
