@@ -67,7 +67,14 @@ def build_extraction(
             return parser(t)
 
         parsed = chunks.map_batches(
-            parse_chunks, batch_format="pyarrow", batch_size=parse_batch_size
+            parse_chunks,
+            batch_format="pyarrow",
+            batch_size=parse_batch_size,
+            # transient faults (a real OCR backend timing out) retry the
+            # task instead of failing the run; the stage is pure so
+            # retries are safe (SURVEY.md §4 stragglers/retries row)
+            max_retries=3,
+            retry_exceptions=True,
         )
     else:
         # actor-pool path for model-backed OCR/layout stages: weights
@@ -82,6 +89,7 @@ def build_extraction(
             batch_format="pyarrow",
             batch_size=parse_batch_size,
             concurrency=parse_concurrency,
+            max_task_retries=3,  # actor-task retry on actor failure
             **remote_args,
         )
     partials = parsed.map_batches(make_batch_combine(num_buckets), batch_format="pyarrow")

@@ -166,3 +166,51 @@ def test_large_payload_docs(ray_session, depara):
     for r in out:
         assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
         assert r["NumerodaCertidao"] is not None
+
+
+def test_transient_parse_failures_are_retried(ray_session, depara, tmp_path):
+    """A stage that fails transiently (real OCR backends time out) must
+    be retried by Ray, not fail the run — the pipeline passes
+    retry_exceptions to the parse stage and stays pure under retry."""
+    import os
+
+    import ray.data as rd
+
+    from pdf_ocr_api_ray.oracle import run_document
+    from pdf_ocr_api_ray.stages.explode import explode_batch
+    from pdf_ocr_api_ray.stages.parse import ChunkParser
+    from pdf_ocr_api_ray.stages.assemble import BucketAssembler, make_batch_combine
+
+    docs = generate_fixture_docs(families=["f1_table_basic"], docs_per_family=6)
+    oracle = {d["doc_id"]: run_document(d["doc_id"], d["spans"], depara) for d in docs}
+    marker_dir = str(tmp_path / "flaky")
+    os.makedirs(marker_dir)
+
+    parser = ChunkParser(depara)
+
+    def flaky_parse(t):
+        # fail the FIRST attempt of each task (marker file per batch key)
+        key = str(t.column("doc_id")[0])
+        marker = os.path.join(marker_dir, key.replace("/", "_"))
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("transient OCR backend failure")
+        return parser(t)
+
+    ds = rd.from_arrow(docs_to_table(docs)).map_batches(explode_batch, batch_format="pyarrow")
+    parsed = ds.map_batches(
+        flaky_parse,
+        batch_format="pyarrow",
+        batch_size=2,
+        max_retries=3,
+        retry_exceptions=True,
+    )
+    out = (
+        parsed.map_batches(make_batch_combine(16), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: BucketAssembler(depara)(g), batch_format="pyarrow")
+        .take_all()
+    )
+    assert len(out) == len(docs)
+    for r in out:
+        assert _span_seq(r["spans"]) == _span_seq(oracle[r["doc_id"]]["spans"])
