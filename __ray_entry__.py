@@ -239,7 +239,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "supplier_balance": """
-            SELECT s_nationkey, count(*) AS n_suppliers,
+            SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_suppliers,
                    round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
             FROM supplier GROUP BY s_nationkey
         """,
@@ -285,7 +285,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props_stats": """
             SELECT event_type, count(*) AS n_events,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
@@ -296,7 +296,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "union_parties": """
-            SELECT kind, nationkey, count(*) AS n_parties FROM (
+            SELECT kind, CAST(nationkey AS BIGINT) AS nationkey, count(*) AS n_parties FROM (
                 SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
                 UNION ALL
                 SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
@@ -398,7 +398,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored
                 ) WHERE rn = 1
             )
-            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM survivors WHERE quality >= 0.3
             GROUP BY lang
         """,
