@@ -51,7 +51,7 @@ def _fuzz_doc(i: int) -> dict:
     return {"doc_id": f"fuzz-{i:04d}", "spans": spans}
 
 
-@pytest.mark.parametrize("seed_block", [0, 1])
+@pytest.mark.parametrize("seed_block", [0, 1, 2, 3])
 def test_fuzz_span_equality(ray_session, depara, seed_block):
     import ray.data as rd
 
