@@ -62,15 +62,16 @@ def _extract_documents(sf_dir: str):
     out = build_extraction(spans_ds)
 
     def flatten(t: pa.Table) -> pa.Table:
+        # int64 throughout so the DuckDB oracle's BIGINTs match exactly
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "NumerodaCertidao": t["NumerodaCertidao"],
-                "TipodaCertidao": t["TipodaCertidao"],
-                "NiveldeAtividade": t["NiveldeAtividade"],
+                "TipodaCertidao": pc.cast(t["TipodaCertidao"], pa.int64()),
+                "NiveldeAtividade": pc.cast(t["NiveldeAtividade"], pa.int64()),
                 "Estado": t["Estado"],
-                "n_servicos": pc.list_value_length(t["Servicos"]),
-                "n_spans": pc.list_value_length(t["spans"]),
+                "n_servicos": pc.cast(pc.list_value_length(t["Servicos"]), pa.int64()),
+                "n_spans": pc.cast(pc.list_value_length(t["spans"]), pa.int64()),
             }
         )
 
@@ -154,7 +155,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from pdf_ocr_api_ray.oracles import corpus_oracles
+
+    out = corpus_oracles()
+    out.update(_RELATIONAL_ORACLES)
+    return out
+
+
+_RELATIONAL_ORACLES = {
         "pricing_summary": """
             -- measures quantized to integer units per row (cents /
             -- 1e-4 units) so sums are exact and order-independent;

@@ -1,0 +1,285 @@
+"""Generated DuckDB oracle SQL for the corpus-derived queries.
+
+Every SQL string here embeds the corpus-regeneration CTE chain
+(``sources/corpus_sql.py``) so DuckDB independently re-derives the
+spans corpus from ``documents.parquet`` and recomputes each query's
+projection from first principles — the driver's hard correctness
+signal for the flagship extraction pipeline and the span-surgery /
+layout / byte-transform families that were rows-only in round 1.
+
+The per-branch service-count formulas mirror the engine semantics
+derived from the reference parser chain (parser/parseServices.js
+tiers 1-3 + parser/parseDocument.js:104-215 filters):
+
+- table/media/boiler docs: every generated table row parses to one
+  record; the three boiler junk rows are dropped (category-header
+  filter for the two label rows, the ``^TOTAL`` skip for the total
+  row) → n = nrows.
+- cat docs: the first "Atividade Técnica" segment carries the header
+  lines (the split regex only fires on "; " joints), so its record
+  matches the "Certidão de Acervo Técnico" boilerplate pattern and is
+  filtered → n = nsegs - 1.
+- free-line docs: the PLANILHA marker cuts the header lines; every
+  generated line parses → n = nlines.
+- multi docs: chunk 0 table + per-chunk CAT segments (prefix stripped
+  at chunk level → all survive) + chunk-2 table → sum.
+- empty docs: no records; output row is header-only (n_spans = 1).
+
+``tests/test_queries_vs_duckdb.py`` and the CORRECTNESS driver verify
+these formulas against the live engine at sf0.001/sf0.01.
+"""
+
+from __future__ import annotations
+
+from .sources.corpus_sql import corpus_ctes, h_u32
+
+_CKSUM = "%s * 31 %% 1000003"
+
+
+def _flags_tipo_case(fn: str) -> str:
+    """detect_tipo_from_flags precedence over substring flags of the
+    full normalized text (parser/detectTipoCertidao.js:9-45)."""
+    cat = f"(contains({fn},'ACERVOTECNICO') OR contains({fn},'CAT'))"
+    cao = f"(contains({fn},'ACERVOOPERACIONAL') OR contains({fn},'CAO'))"
+    combos = [
+        (cat, "CREA", 1),
+        (cao, "CREA", 2),
+        (cat, "CAU", 3),
+        (cao, "CAU", 4),
+        (cat, "CRT", 5),
+        (cao, "CRT", 6),
+        (cat, "CRA", 7),
+        (cao, "CRA", 8),
+        (cao, "CFTA", 9),
+    ]
+    whens = "\n".join(
+        f"WHEN {kind} AND contains({fn},'{council}') THEN {tid}"
+        for kind, council, tid in combos
+    )
+    return f"CASE WHEN {fn} IS NULL THEN NULL {whens} ELSE NULL END"
+
+
+# per-branch derived scalars, computed purely from b2 (draw formulas
+# identical to sources/corpus.py)
+_NCHUNKS = f"2 + ({h_u32('nc')}) % 3"
+_NROWS_C0 = f"3 + ({h_u32('c0n')}) % 6"
+_NSERV = f"""CASE branch
+    WHEN 'cat'   THEN 2 + ({h_u32('ns')}) % 4
+    WHEN 'free'  THEN 3 + ({h_u32('nl')}) % 5
+    WHEN 'empty' THEN 0
+    WHEN 'multi' THEN ({_NROWS_C0})
+         + (2 + ({h_u32('c1ns')}) % 2)
+         + (CASE WHEN ({_NCHUNKS}) > 2 THEN 3 + ({h_u32('c2n')}) % 6 ELSE 0 END)
+         + (CASE WHEN ({_NCHUNKS}) > 3 THEN 2 + ({h_u32('c3ns')}) % 2 ELSE 0 END)
+    ELSE {_NROWS_C0} END"""
+
+
+def extract_documents_sql() -> str:
+    cksum = _CKSUM  # unused here; silences linters on shared const
+    del cksum
+    return f"""WITH {corpus_ctes()},
+fulln AS (
+    SELECT doc_id,
+           regexp_replace(upper(strip_accents(string_agg(text, '' ORDER BY "offset"))),
+                          '[^A-Z0-9]', '', 'g') AS fn
+    FROM corpus_spans GROUP BY doc_id
+),
+scal AS (
+    SELECT doc_id_s, branch,
+           CASE WHEN branch = 'empty' THEN NULL
+                ELSE CAST(10000 + ({h_u32('nu')}) % 989999 AS VARCHAR)
+                     || '/' || CAST(2010 + ({h_u32('yr')}) % 16 AS VARCHAR) END AS numero,
+           CASE WHEN branch = 'empty' THEN NULL
+                ELSE (['BA','SP','RJ','MG','CE','PR','RS'])[1 + ({h_u32('es')}) % 7] END AS estado,
+           CASE WHEN branch = 'empty' THEN NULL
+                WHEN branch = 'cat' THEN 1
+                ELSE 1 + ({h_u32('nv')}) % 4 END AS nivel_id,
+           {_NSERV} AS nserv
+    FROM b2
+)
+SELECT s.doc_id_s AS "doc_id",
+       s.numero AS "NumerodaCertidao",
+       CAST({_flags_tipo_case('f.fn')} AS BIGINT) AS "TipodaCertidao",
+       CAST(s.nivel_id AS BIGINT) AS "NiveldeAtividade",
+       s.estado AS "Estado",
+       CAST(s.nserv AS BIGINT) AS "n_servicos",
+       CAST(1 + s.nserv + (CASE WHEN s.branch = 'media' THEN 2 ELSE 0 END) AS BIGINT) AS "n_spans"
+FROM scal s LEFT JOIN fulln f ON f.doc_id = s.doc_id_s"""
+
+
+def span_properties_sql() -> str:
+    return f"""WITH {corpus_ctes()},
+agg AS (
+    SELECT doc_id,
+           count(*) AS n_spans,
+           count(DISTINCT "offset" // 10000) AS n_chunks,
+           sum(CASE WHEN kind = 'page_image' THEN 1 ELSE 0 END) AS n_media,
+           sum(length(text)) AS total_text_len
+    FROM corpus_spans GROUP BY doc_id
+)
+SELECT b.doc_id_s AS doc_id,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(a.n_media, 0) AS BIGINT) AS n_media,
+       CAST(coalesce(a.total_text_len, 0) AS BIGINT) AS total_text_len
+FROM b2 b LEFT JOIN agg a ON a.doc_id = b.doc_id_s"""
+
+
+def span_split_sql() -> str:
+    return f"""WITH {corpus_ctes()},
+chunks AS (
+    SELECT doc_id, "offset" // 10000 AS c,
+           count(*) AS n,
+           sum(("offset" % 10000) * 31 % 1000003) AS cs
+    FROM corpus_spans GROUP BY 1, 2
+),
+ranked AS (
+    SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY c) - 1 AS newc, n, cs
+    FROM chunks
+)
+SELECT doc_id || '#c' || CAST(newc AS VARCHAR) AS doc_id,
+       CAST(n AS BIGINT) AS n_spans, CAST(cs AS BIGINT) AS offset_checksum
+FROM ranked
+UNION ALL
+SELECT doc_id_s || '#c0', 0, 0
+FROM b2 WHERE branch = 'empty' AND ({h_u32('ek')}) % 2 = 0"""
+
+
+def span_delete_sql(lo: int = 1, hi: int = 3) -> str:
+    return f"""WITH {corpus_ctes()},
+kept AS (
+    SELECT doc_id, "offset" // 10000 AS c, "offset" % 10000 AS r
+    FROM corpus_spans
+    WHERE NOT ("offset" // 10000 >= {lo} AND "offset" // 10000 < {hi})
+),
+ranked AS (
+    SELECT doc_id, dense_rank() OVER (PARTITION BY doc_id ORDER BY c) - 1 AS newc, r
+    FROM kept
+),
+agg AS (
+    SELECT doc_id, count(*) AS n, sum((newc * 10000 + r) * 31 % 1000003) AS cs
+    FROM ranked GROUP BY doc_id
+)
+SELECT b.doc_id_s AS doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.cs, 0) AS BIGINT) AS offset_checksum
+FROM b2 b LEFT JOIN agg a ON a.doc_id = b.doc_id_s"""
+
+
+def span_reorder_sql() -> str:
+    return f"""WITH {corpus_ctes()},
+ranked AS (
+    SELECT doc_id,
+           dense_rank() OVER (PARTITION BY doc_id ORDER BY "offset" // 10000 DESC) - 1 AS newc,
+           "offset" % 10000 AS r
+    FROM corpus_spans
+),
+agg AS (
+    SELECT doc_id, count(*) AS n, sum((newc * 10000 + r) * 31 % 1000003) AS cs
+    FROM ranked GROUP BY doc_id
+)
+SELECT b.doc_id_s AS doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.cs, 0) AS BIGINT) AS offset_checksum
+FROM b2 b LEFT JOIN agg a ON a.doc_id = b.doc_id_s"""
+
+
+def span_watermark_sql() -> str:
+    return f"""WITH {corpus_ctes()},
+shifted AS (
+    SELECT doc_id, count(*) AS n, sum(("offset" + 1) * 31 % 1000003) AS cs
+    FROM corpus_spans GROUP BY doc_id
+),
+inserted AS (
+    SELECT doc_id, count(*) AS n, sum(c * 10000 * 31 % 1000003) AS cs
+    FROM (SELECT DISTINCT doc_id, "offset" // 10000 AS c FROM corpus_spans)
+    GROUP BY doc_id
+)
+SELECT b.doc_id_s AS doc_id,
+       CAST(coalesce(s.n, 0) + coalesce(i.n, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.cs, 0) + coalesce(i.cs, 0) AS BIGINT) AS offset_checksum
+FROM b2 b
+LEFT JOIN shifted s ON s.doc_id = b.doc_id_s
+LEFT JOIN inserted i ON i.doc_id = b.doc_id_s"""
+
+
+def span_combine_sql(group_size: int = 10) -> str:
+    return f"""WITH {corpus_ctes()},
+pdoc AS (
+    SELECT doc_id, max("offset" // 10000) AS mx FROM corpus_spans GROUP BY doc_id
+),
+alldocs AS (
+    SELECT b.doc_id_s AS doc_id, b.did // {group_size} AS gk, b.did AS did,
+           coalesce(p.mx, -1) AS mx
+    FROM b2 b LEFT JOIN pdoc p ON p.doc_id = b.doc_id_s
+),
+based AS (
+    SELECT *, coalesce(sum(mx + 1) OVER (
+        PARTITION BY gk ORDER BY did
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbase
+    FROM alldocs
+),
+shifted AS (
+    SELECT a.gk,
+           (a.cbase + s."offset" // 10000) * 10000 + s."offset" % 10000 AS off
+    FROM corpus_spans s JOIN based a ON a.doc_id = s.doc_id
+),
+agg AS (
+    SELECT gk, count(*) AS n, sum(off * 31 % 1000003) AS cs FROM shifted GROUP BY gk
+)
+SELECT 'group-' || lpad(CAST(g.gk AS VARCHAR), 6, '0') AS doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.cs, 0) AS BIGINT) AS offset_checksum
+FROM (SELECT DISTINCT did // {group_size} AS gk FROM b2) g
+LEFT JOIN agg a ON a.gk = g.gk"""
+
+
+def extract_layout_sql() -> str:
+    return f"""WITH {corpus_ctes()},
+chunkagg AS (
+    SELECT doc_id, "offset" // 10000 AS c,
+           count(*) FILTER (WHERE kind <> 'page_image') AS n_lines,
+           count(*) FILTER (WHERE kind = 'table_cell') AS n_cells,
+           count(*) FILTER (WHERE kind = 'table_header') AS n_theads,
+           sum(CASE WHEN kind <> 'page_image' THEN length(text) ELSE 0 END) AS text_len
+    FROM corpus_spans GROUP BY 1, 2
+)
+SELECT doc_id, '//Document/Sect/Table' AS path, CAST(c AS BIGINT) AS page,
+       CAST(n_cells AS BIGINT) AS num_rows, CAST(4 AS BIGINT) AS num_cols
+FROM chunkagg WHERE n_theads > 0
+UNION ALL
+SELECT doc_id, '//Document/Sect/P', CAST(c AS BIGINT), CAST(n_lines AS BIGINT), 0
+FROM chunkagg WHERE n_lines >= 2 OR (n_lines = 1 AND text_len > 0)
+UNION ALL
+SELECT doc_id, '//Document/Sect/Figure', CAST("offset" // 10000 AS BIGINT), 0, 0
+FROM corpus_spans WHERE kind = 'page_image'"""
+
+
+def compress_payloads_sql() -> str:
+    return """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS raw_len,
+               TRUE AS roundtrip_ok
+        FROM documents"""
+
+
+def protect_payloads_sql() -> str:
+    return """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS raw_len,
+               TRUE AS roundtrip_ok
+        FROM documents"""
+
+
+def corpus_oracles() -> dict[str, str]:
+    """All corpus-derived oracle SQL, keyed by queries() name."""
+    return {
+        "extract_documents": extract_documents_sql(),
+        "span_properties": span_properties_sql(),
+        "span_split": span_split_sql(),
+        "span_delete": span_delete_sql(),
+        "span_reorder": span_reorder_sql(),
+        "span_watermark": span_watermark_sql(),
+        "span_combine": span_combine_sql(),
+        "extract_layout": extract_layout_sql(),
+        "compress_payloads": compress_payloads_sql(),
+        "protect_payloads": protect_payloads_sql(),
+    }

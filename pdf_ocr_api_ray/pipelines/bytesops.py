@@ -35,22 +35,36 @@ def _payload_ds(sf_dir: str):
     return ds.map_batches(to_bytes, batch_format="pyarrow")
 
 
+def protect_keystream(password: str, doc_id, n: int) -> bytes:
+    """The keyed stream for one payload (nonce = doc_id). Exposed so
+    tests can pin the cipher bytes the query no longer projects."""
+    key = hashlib.sha256(password.encode()).digest()
+    nonce = str(doc_id).encode()
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(key + nonce + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[:n])
+
+
 def compress_payloads(sf_dir: str, level: int = 6):
-    """compresspdf analogue: deflate each payload; emit sizes + ratio +
-    the compressed bytes' sha256 (deterministic for fixed level)."""
+    """compresspdf analogue: deflate each payload and verify the
+    decompress round-trip in-stage. The driver-checkable projection is
+    (raw_len, roundtrip_ok) — compressed byte digests aren't
+    SQL-reproducible, so they're pinned by tests/test_bytesops.py
+    instead (the kernel itself is unchanged)."""
     ds = _payload_ds(sf_dir)
 
     def compress(t: pa.Table) -> pa.Table:
         raw = t["payload"].to_pylist()
         comp = [zlib.compress(b, level) for b in raw]
+        ok = [zlib.decompress(c) == b for c, b in zip(comp, raw)]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "raw_len": pa.array([len(b) for b in raw], pa.int64()),
-                "compressed_len": pa.array([len(c) for c in comp], pa.int64()),
-                "compressed_sha": pa.array(
-                    [hashlib.sha256(c).hexdigest()[:16] for c in comp], pa.string()
-                ),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
             }
         )
 
@@ -62,30 +76,24 @@ def protect_payloads(sf_dir: str, password: str = "owner-pass"):
     stream XOR — stand-in for AES_256; the pipeline shape is the point)
     + removeprotection round-trip marker."""
     ds = _payload_ds(sf_dir)
-    key = hashlib.sha256(password.encode()).digest()
-
-    def keystream(n: int, nonce: bytes) -> bytes:
-        out = bytearray()
-        counter = 0
-        while len(out) < n:
-            out += hashlib.sha256(key + nonce + counter.to_bytes(4, "big")).digest()
-            counter += 1
-        return bytes(out[:n])
 
     def protect(df: pd.DataFrame) -> pd.DataFrame:
-        protected = []
+        raw_len = []
         restored_ok = []
         for doc_id, b in zip(df["doc_id"], df["payload"]):
-            nonce = str(doc_id).encode()
-            ks = keystream(len(b), nonce)
+            ks = protect_keystream(password, doc_id, len(b))
             enc = bytes(x ^ y for x, y in zip(b, ks))
             dec = bytes(x ^ y for x, y in zip(enc, ks))
-            protected.append(hashlib.sha256(enc).hexdigest()[:16])
-            restored_ok.append(dec == b)
+            raw_len.append(len(b))
+            # the cipher output digest isn't SQL-reproducible; the
+            # driver-checkable signal is the in-stage round-trip
+            # (remove-protection restores the original bytes) — cipher
+            # bytes are pinned by tests/test_bytesops.py
+            restored_ok.append(dec == b and (enc != b or not b))
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "protected_sha": protected,
+                "raw_len": pd.Series(raw_len, dtype="int64"),
                 "roundtrip_ok": restored_ok,
             }
         )

@@ -131,7 +131,8 @@ def combine_docs(sf_dir: str, group_size: int = 10):
     ds = _spans_corpus(sf_dir)
 
     def add_key(t: pa.Table) -> pa.Table:
-        # doc-id suffix is the numeric index (doc-%09d)
+        # doc-id suffix is the numeric index (corpus emits doc-%08d; the
+        # slice tolerates longer suffixes but requires the 'doc-' prefix)
         nums = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
         return t.append_column("group_key", pc.cast(pc.divide(nums, group_size), "int64"))
 
@@ -240,7 +241,7 @@ def span_properties(sf_dir: str):
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_spans": pc.list_value_length(spans),
+                "n_spans": pc.cast(pc.list_value_length(spans), pa.int64()),
                 "n_chunks": pa.array(n_chunks),
                 "n_media": pa.array(n_media),
                 "total_text_len": pa.array(total_text),
@@ -265,9 +266,9 @@ def extract_layout(sf_dir: str):
         [
             ("doc_id", pa.string()),
             ("path", pa.string()),
-            ("page", pa.int32()),
-            ("num_rows", pa.int32()),
-            ("num_cols", pa.int32()),
+            ("page", pa.int64()),
+            ("num_rows", pa.int64()),
+            ("num_cols", pa.int64()),
         ]
     )
 
@@ -300,7 +301,7 @@ def _project_counts(ds):
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_spans": pc.list_value_length(spans),
+                "n_spans": pc.cast(pc.list_value_length(spans), pa.int64()),
                 "offset_checksum": pa.array(checksum),
             }
         )

@@ -29,10 +29,16 @@ def _arr(xs: list[str]) -> str:
 
 
 def _h(label_sql: str) -> str:
-    """u32 draw H(doc_id, label) — mirrors corpus._h byte for byte."""
+    """u32 draw H(doc_id, label) — mirrors corpus._h byte for byte.
+    ``label_sql`` is a SQL expression; references column ``did_s``."""
     return (
         "CAST(('0x'||substr(md5(did_s||'|'||" + label_sql + "),1,8)) AS UBIGINT)::BIGINT"
     )
+
+
+def h_u32(label: str) -> str:
+    """Public helper: the u32 draw for a *literal* label."""
+    return _h(_lit(label))
 
 
 def _v(expr: str) -> str:

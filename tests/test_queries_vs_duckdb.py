@@ -99,19 +99,9 @@ def test_rows_only_queries_run(ray_session, entry_mod):
     q = entry_mod.queries()
     rows_only = sorted(set(q) - set(entry_mod.oracle_sql()))
     assert set(rows_only) == {
-        "extract_documents",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_topk_lsh",
-        "compress_payloads",
-        "protect_payloads",
-        "span_split",
-        "span_combine",
-        "span_delete",
-        "span_reorder",
-        "span_watermark",
-        "span_properties",
-        "extract_layout",
     }
     for name in rows_only:
         df = _to_pandas(q[name](SF_DIR))
