@@ -258,10 +258,13 @@ _RELATIONAL_ORACLES = {
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
         """,
         "running_total": """
+            -- micro-unit quantization per row BEFORE the window sum →
+            -- exact integer accumulation, independent of DuckDB's
+            -- segment-tree summation order (matches the Ray scan)
             SELECT event_id, user_id,
-                   round(sum(value) OVER (
+                   round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING), 2) AS running_value
+                       ROWS UNBOUNDED PRECEDING) / 1000000.0, 2) AS running_value
             FROM events
         """,
         "sessionize": """

@@ -269,6 +269,102 @@ def protect_payloads_sql() -> str:
         FROM documents"""
 
 
+_AUG_CORPUS = r"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, regexp_replace(text, '^(\S+)', '\1 \1')
+    FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def dedup_minhash_lsh_sql(threshold: float = 0.6) -> str:
+    """Exact 3-token-shingle Jaccard pairs over the augmented corpus —
+    the from-first-principles twin of the engine's LSH+verify output
+    (banding at 32×2 has P(miss | J ≥ τ) ≈ 2e-7 and the corpus has a
+    wide planted-vs-natural margin, so verified-LSH = exact)."""
+    return rf"""WITH {_AUG_CORPUS},
+tokl AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM corpus),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS s
+    FROM (SELECT doc_id, toks, unnest(range(greatest(1, len(toks) - 2))) AS i FROM tokl)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE i * 1.0 / (ca.n + cb.n - i) >= {threshold}"""
+
+
+def _md5_le64(expr: str) -> str:
+    """Little-endian 64-bit int of md5(expr) — dedup._stable64's twin."""
+    m = f"md5({expr})"
+    bytes_rev = "||".join(f"substr({m},{15 - 2 * k},2)" for k in range(8))
+    return f"CAST(('0x'||{bytes_rev}) AS UBIGINT)"
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    """Recompute the 64-bit count-weighted SimHash fingerprints from
+    md5 token hashes bit-for-bit, then all-pairs hamming ≤ k — the
+    engine's pigeonhole blocking is exact for k ≤ 3, so engine output
+    equals this oracle identically."""
+    bit_terms = "+\n        ".join(
+        f"(CASE WHEN sum(c * (CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << j} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for j in range(64)
+    )
+    return rf"""WITH {_AUG_CORPUS},
+tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM corpus
+),
+tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+th AS (SELECT doc_id, c, {_md5_le64('w')} AS h FROM tc),
+fp AS (
+    SELECT doc_id,
+        {bit_terms} AS f
+    FROM th GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}"""
+
+
+def ann_topk_lsh_sql() -> str:
+    """Brute-force top-k over the probe-duplicate-augmented corpus.
+    The planted copies (cos = 1 exactly, ids tie-broken ascending) are
+    the full top-10 on both sides, so LSH output = exact output."""
+    return """WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pe
+    FROM embeddings ORDER BY vec_id LIMIT 5
+),
+aug AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT 200000 + p.probe_id * 100 + j.j, p.pe
+    FROM probes p, (SELECT unnest(range(10)) AS j) j
+),
+sims AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(p.pe, e.embedding) AS sim
+    FROM probes p JOIN aug e ON e.vec_id <> p.probe_id
+)
+SELECT probe_id, rank, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+    FROM sims
+) WHERE rank <= 10"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -282,4 +378,7 @@ def corpus_oracles() -> dict[str, str]:
         "extract_layout": extract_layout_sql(),
         "compress_payloads": compress_payloads_sql(),
         "protect_payloads": protect_payloads_sql(),
+        "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+        "dedup_simhash": dedup_simhash_sql(),
+        "ann_topk_lsh": ann_topk_lsh_sql(),
     }

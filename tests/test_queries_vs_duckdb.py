@@ -93,20 +93,10 @@ def test_parity(ray_session, entry_mod, con, name):
             assert a.astype(str).tolist() == b.astype(str).tolist(), f"{name}: col {c} differs"
 
 
-def test_rows_only_queries_run(ray_session, entry_mod):
-    """Queries without a SQL oracle must still execute and return rows
-    with a stable schema."""
-    q = entry_mod.queries()
-    rows_only = sorted(set(q) - set(entry_mod.oracle_sql()))
-    assert set(rows_only) == {
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "ann_topk_lsh",
-    }
-    for name in rows_only:
-        df = _to_pandas(q[name](SF_DIR))
-        assert df is not None
-        assert len(df.columns) > 0
+def test_every_query_has_an_oracle(entry_mod):
+    """Round-2 invariant: every queries() entry is driver-verifiable —
+    no rows-only checks left."""
+    assert set(entry_mod.queries()) <= set(entry_mod.oracle_sql())
 
 
 def test_entry_smoke(ray_session, entry_mod):

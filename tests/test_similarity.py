@@ -60,10 +60,25 @@ def test_near_dup_finds_injected_copies(ray_session):
     assert injected <= found
 
 
+def test_near_dup_lsh_equals_bruteforce(ray_session):
+    """The LSH-bucketed pairs path returns exactly the brute-force
+    all-pairs result on the augmented corpus (exact copies share a
+    bucket deterministically)."""
+    from pdf_ocr_api_ray.pipelines.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_bruteforce,
+    )
+
+    lsh = embedding_near_dup(SF).to_pandas()
+    brute = embedding_near_dup_bruteforce(SF).to_pandas()
+    as_set = lambda d: {(a, b) for a, b in zip(d["id_a"], d["id_b"])}  # noqa: E731
+    assert as_set(lsh) == as_set(brute)
+
+
 def test_minhash_finds_exact_and_mutated_copies(ray_session):
     from pdf_ocr_api_ray.pipelines.dedup import dedup_minhash_lsh
 
-    df = dedup_minhash_lsh(SF)  # eager pandas result (driver-side verify)
+    df = dedup_minhash_lsh(SF).to_pandas()
     pairs = {(a, b) for a, b in zip(df["id_a"], df["id_b"])}
     exact_expected = {(v, v + 1_000_000) for v in range(0, 500, 5)}
     assert exact_expected <= pairs
@@ -79,3 +94,35 @@ def test_simhash_copies_have_zero_distance(ray_session):
     pairs = {(a, b): h for a, b, h in zip(df["id_a"], df["id_b"], df["hamming"])}
     for v in range(0, 500, 5):
         assert pairs.get((v, v + 1_000_000)) == 0
+
+
+def test_simhash_mass_duplicate_block_no_blowup(ray_session, tmp_path):
+    """A mass-duplicated text (1,000 copies → one scorching-hot segment
+    bucket) must not go quadratic in the popcount scan: identical
+    fingerprints collapse to one representative before the pairwise
+    matrix. The (inherently quadratic) pair *output* is still emitted,
+    vectorized."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.dedup import dedup_simhash
+
+    n = 1000
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": ["the same boilerplate text repeated everywhere"] * n,
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    t0 = time.time()
+    df = dedup_simhash(str(tmp_path)).to_pandas()
+    elapsed = time.time() - t0
+    # 1000 originals + 200 exact copies share one fingerprint
+    # (mutateds too — one doubled token doesn't flip sign sums here);
+    # every intra-cluster pair must be present exactly once
+    assert len(df) >= 1200 * 1199 // 2
+    assert (df["hamming"] <= 3).all()
+    assert elapsed < 120, f"hot-segment scan took {elapsed:.1f}s"
