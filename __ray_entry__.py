@@ -147,10 +147,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_watermark": spanops.watermark,
         "span_properties": spanops.span_properties,
         "extract_layout": spanops.extract_layout,
+        "rotate_pages": spanops.rotate_pages,
+        "insert_pages": spanops.insert_pages,
+        "replace_pages": spanops.replace_pages,
         # byte-transform families (compress/protect analogues; rows-only,
         # round-trip integrity pinned by tests/test_bytesops.py)
         "compress_payloads": bytesops.compress_payloads,
         "protect_payloads": bytesops.protect_payloads,
+        # electronicseal family: credential-holding actor pool
+        "seal_documents": bytesops.seal_documents,
     }
 
 

@@ -255,6 +255,64 @@ SELECT doc_id, '//Document/Sect/Figure', CAST("offset" // 10000 AS BIGINT), 0, 0
 FROM corpus_spans WHERE kind = 'page_image'"""
 
 
+def rotate_pages_sql(angle: int = 90) -> str:
+    tag_len = len(f"#rot{angle}")
+    return f"""WITH {corpus_ctes()},
+agg AS (
+    SELECT doc_id, count(*) AS n_spans,
+           sum(CASE WHEN kind = 'page_image' AND media_ref <> '' THEN 1 ELSE 0 END) AS n_rot,
+           sum(length(media_ref)
+               + CASE WHEN kind = 'page_image' AND media_ref <> '' THEN {tag_len} ELSE 0 END) AS rlen
+    FROM corpus_spans GROUP BY doc_id
+)
+SELECT b.doc_id_s AS doc_id,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.n_rot, 0) AS BIGINT) AS n_media_rotated,
+       CAST(coalesce(a.rlen, 0) AS BIGINT) AS rot_ref_len
+FROM b2 b LEFT JOIN agg a ON a.doc_id = b.doc_id_s"""
+
+
+def _pair_merge_sql(mode: str) -> str:
+    if mode == "insert":
+        mapped = """CASE WHEN role = 1 THEN 1 + rank
+                 WHEN rank = 0 THEN 0
+                 ELSE 1 + coalesce(np1, 0) + rank - 1 END"""
+        keep = "TRUE"
+    else:  # replace
+        mapped = """CASE WHEN role = 1 THEN 1
+                 WHEN rank = 0 THEN 0
+                 ELSE rank - 1 END"""
+        keep = "(role = 0 AND (rank = 0 OR rank >= 3)) OR (role = 1 AND rank = 0)"
+    return f"""WITH {corpus_ctes()},
+sp AS (
+    SELECT s.doc_id, b.did, s."offset" FROM corpus_spans s
+    JOIN b2 b ON b.doc_id_s = s.doc_id
+),
+rk AS (
+    SELECT did // 2 AS pair, did % 2 AS role, "offset" % 10000 AS r_off,
+           dense_rank() OVER (PARTITION BY doc_id ORDER BY "offset" // 10000) - 1 AS rank
+    FROM sp
+),
+nch AS (
+    SELECT did // 2 AS pair, count(DISTINCT "offset" // 10000) AS np1
+    FROM sp WHERE did % 2 = 1 GROUP BY 1
+),
+mapped AS (
+    SELECT rk.pair, ({mapped}) AS nc, r_off
+    FROM rk LEFT JOIN nch ON nch.pair = rk.pair
+    WHERE {keep}
+),
+agg AS (
+    SELECT pair, count(*) AS n, sum((nc * 10000 + r_off) * 31 % 1000003) AS cs
+    FROM mapped GROUP BY pair
+)
+SELECT 'doc-' || lpad(CAST(p.pair * 2 AS VARCHAR), 8, '0') AS doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.cs, 0) AS BIGINT) AS offset_checksum
+FROM (SELECT DISTINCT did // 2 AS pair FROM b2) p
+LEFT JOIN agg a ON a.pair = p.pair"""
+
+
 def compress_payloads_sql() -> str:
     return """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS raw_len,
@@ -381,4 +439,12 @@ def corpus_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_simhash": dedup_simhash_sql(),
         "ann_topk_lsh": ann_topk_lsh_sql(),
+        "rotate_pages": rotate_pages_sql(),
+        "insert_pages": _pair_merge_sql("insert"),
+        "replace_pages": _pair_merge_sql("replace"),
+        # countersign with the same (demo) credential
+        "seal_documents": """
+            SELECT doc_id, md5(text) AS content_fp,
+                   md5('demo-credential|' || CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS seal
+            FROM documents""",
     }

@@ -35,6 +35,46 @@ def _payload_ds(sf_dir: str):
     return ds.map_batches(to_bytes, batch_format="pyarrow")
 
 
+class SealSigner:
+    """electronicseal analogue (src/electronicseal/electronic-seal.js:
+    119-130): a credential-holding ACTOR pool signs every document.
+    The signing credential rides in the actor constructor — built once
+    per actor, never present in batch data or the output — mirroring
+    the reference's sealing-credential object (client id / PIN). The
+    'signature' is a keyed digest over (doc identity, content
+    fingerprint); the demo credential is fixed so the SQL oracle can
+    countersign."""
+
+    def __init__(self, credential: str = "demo-credential"):
+        self._credential = credential  # held in actor state only
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        fps = [hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts]
+        seals = [
+            hashlib.md5(f"{self._credential}|{i}|{fp}".encode()).hexdigest()
+            for i, fp in zip(ids, fps)
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "content_fp": pa.array(fps, pa.string()),
+                "seal": pa.array(seals, pa.string()),
+            }
+        )
+
+
+def seal_documents(sf_dir: str, concurrency: int = 2):
+    """Sign every document with the credential actor pool (stateful
+    stage: secrets load once per actor in __init__, exactly like model
+    weights in the OCR stage)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(SealSigner, concurrency=concurrency, batch_format="pyarrow")
+
+
 def protect_keystream(password: str, doc_id, n: int) -> bytes:
     """The keyed stream for one payload (nonce = doc_id). Exposed so
     tests can pin the cipher bytes the query no longer projects."""

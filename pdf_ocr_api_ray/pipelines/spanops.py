@@ -106,26 +106,154 @@ def watermark_doc(spans: list[dict], wm_ref: str) -> list[dict]:
     return out
 
 
+# ---------- vectorized flat-span machinery (shared by the stages) ----------
+#
+# Every surgery stage works on the flattened span table of a batch:
+# one lexsort by (doc, chunk, offset), dense chunk ranks from run
+# boundaries, offset arithmetic in numpy, and ONE ListArray rebuild —
+# no Python per row/span (the to_pylist() rebuilds the round-1 version
+# used were the measured hot spot; span_properties proved this pattern).
+
+
+def _flat_sorted(t: "pa.Table"):
+    """Flatten + sort a batch's spans by (doc, chunk, offset).
+
+    Returns (flat_sorted, par_s, chunk_s, row_s) — struct array plus
+    int64 numpy arrays (parent row, chunk index, row-within-chunk)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    spans = t.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+    off = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+    chunk = off // CHUNK_STRIDE
+    row = off % CHUNK_STRIDE
+    order = np.lexsort((off, chunk, par))
+    return flat.take(pa.array(order)), par[order], chunk[order], row[order]
+
+
+def _chunk_ranks(par_s, chunk_s):
+    """Per-span dense chunk rank within its doc + group metadata.
+
+    Returns (rank_span, gid_span, group_par, rank_group, n_groups_par)
+    where n_groups_par[p] = chunk count of parent p (0 for parents with
+    no spans — callers use np.bincount minlength)."""
+    import numpy as np
+
+    n = len(par_s)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, {}
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (par_s[1:] != par_s[:-1]) | (chunk_s[1:] != chunk_s[:-1])
+    gid = np.cumsum(change) - 1
+    group_par = par_s[change]
+    pchange = np.empty(len(group_par), dtype=bool)
+    pchange[0] = True
+    pchange[1:] = group_par[1:] != group_par[:-1]
+    gidx = np.arange(len(group_par))
+    first = np.maximum.accumulate(np.where(pchange, gidx, 0))
+    rank_group = gidx - first
+    starts = np.flatnonzero(pchange)
+    npg = np.diff(np.append(starts, len(group_par)))
+    n_groups_group = np.repeat(npg, npg)  # per group: its parent's chunk count
+    return rank_group[gid], gid, group_par, rank_group, n_groups_group
+
+
+def _rebuild(doc_ids, n_docs: int, par_s, flat_s, new_off) -> "pa.Table":
+    """Reassemble (doc_id, spans) rows from kept+sorted flat spans."""
+    import numpy as np
+
+    counts = np.bincount(par_s, minlength=n_docs)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    struct = pa.StructArray.from_arrays(
+        [
+            flat_s.field("kind"),
+            flat_s.field("text"),
+            flat_s.field("media_ref"),
+            pa.array(new_off.astype("int32"), pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offs, pa.int64()).cast(pa.int32()), struct)
+    return pa.table({"doc_id": doc_ids, "spans": spans}, schema=INPUT_SCHEMA)
+
+
 # ---------- Ray stages / queries ----------
 
 
 def split_chunks(sf_dir: str):
+    """doc → one output row per chunk, chunk re-based to 0 (splitpdf)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     ds = _spans_corpus(sf_dir)
 
     def fn(t: pa.Table) -> pa.Table:
-        rows = []
-        for r in t.to_pylist():
-            rows.extend(split_doc(r["doc_id"], r["spans"]))
-        return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+        rank_span, gid, group_par, rank_group, _ = _chunk_ranks(par_s, chunk_s)
+        n = len(par_s)
+        # one list per (doc, chunk) group; groups are contiguous runs
+        if n:
+            starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+        list_offs = np.append(starts, n)
+        struct = pa.StructArray.from_arrays(
+            [
+                flat_s.field("kind"),
+                flat_s.field("text"),
+                flat_s.field("media_ref"),
+                pa.array(row_s.astype("int32"), pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(list_offs, pa.int64()).cast(pa.int32()), struct
+        )
+        base_ids = pc.take(t["doc_id"], pa.array(group_par))
+        suffix = pa.array([f"#c{r}" for r in rank_group], pa.string())
+        doc_ids = pc.binary_join_element_wise(base_ids, suffix, "")
+        out = pa.table({"doc_id": doc_ids, "spans": spans}, schema=INPUT_SCHEMA)
+
+        # docs with zero spans → one empty '#c0' row each (F15 contract)
+        present = np.zeros(t.num_rows, dtype=bool)
+        present[group_par] = True
+        missing = np.flatnonzero(~present)
+        if len(missing):
+            empty = pa.table(
+                {
+                    "doc_id": pc.binary_join_element_wise(
+                        pc.take(t["doc_id"], pa.array(missing)),
+                        pa.array(["#c0"] * len(missing)),
+                        "",
+                    ),
+                    "spans": pa.ListArray.from_arrays(
+                        pa.array(np.zeros(len(missing) + 1, dtype=np.int32)),
+                        struct.slice(0, 0),
+                    ),
+                },
+                schema=INPUT_SCHEMA,
+            )
+            out = pa.concat_tables([out, empty])
+        return out
 
     out = ds.map_batches(fn, batch_format="pyarrow")
     return _project_counts(out)
 
 
-def combine_docs(sf_dir: str, group_size: int = 10):
+def combine_docs(sf_dir: str, group_size: int = 10, num_buckets: int = 256):
     """Ordered concat of documents into groups (combinepdf): group key =
     doc index // group_size, chunk indices re-based so member k's chunks
-    follow member k-1's. One groupby; order key = doc_id within group."""
+    follow member k-1's. ONE groupby over hash buckets of the group key
+    (many groups merged per Ray group, vectorized — not one Python call
+    per output doc); order key = doc_id within group."""
+    import numpy as np
     import pyarrow.compute as pc
 
     ds = _spans_corpus(sf_dir)
@@ -134,72 +262,292 @@ def combine_docs(sf_dir: str, group_size: int = 10):
         # doc-id suffix is the numeric index (corpus emits doc-%08d; the
         # slice tolerates longer suffixes but requires the 'doc-' prefix)
         nums = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
-        return t.append_column("group_key", pc.cast(pc.divide(nums, group_size), "int64"))
-
-    def merge(group: pa.Table) -> pa.Table:
-        rows = sorted(group.to_pylist(), key=lambda r: r["doc_id"])
-        out_spans = []
-        chunk_base = 0
-        for r in rows:
-            max_chunk = -1
-            for s in r["spans"] or []:
-                c = int(s["offset"]) // CHUNK_STRIDE
-                max_chunk = max(max_chunk, c)
-                out_spans.append(
-                    {**s, "offset": (chunk_base + c) * CHUNK_STRIDE + int(s["offset"]) % CHUNK_STRIDE}
-                )
-            chunk_base += max_chunk + 1
-        return pa.Table.from_pylist(
-            [{"doc_id": f"group-{rows[0]['group_key']:06d}", "spans": out_spans}],
-            schema=INPUT_SCHEMA,
+        gk = pc.cast(pc.divide(nums, group_size), "int64")
+        t = t.append_column("group_key", gk)
+        return t.append_column(
+            "gb", pa.array((gk.to_numpy(zero_copy_only=False) % num_buckets).astype("int32"))
         )
 
-    out = ds.map_batches(add_key, batch_format="pyarrow").groupby("group_key").map_groups(
-        merge, batch_format="pyarrow"
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        si = pc.sort_indices(
+            t, sort_keys=[("group_key", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(si)
+        gk = t["group_key"].to_numpy(zero_copy_only=False)
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = off // CHUNK_STRIDE
+        row = off % CHUNK_STRIDE
+
+        # chunk_base per member doc: exclusive running (max_chunk+1)
+        # within its group
+        mx = np.full(t.num_rows, -1, dtype=np.int64)
+        np.maximum.at(mx, par, chunk)
+        sizes = mx + 1
+        excl = np.r_[0, np.cumsum(sizes)[:-1]]
+        grp_change = np.r_[True, gk[1:] != gk[:-1]] if len(gk) else np.zeros(0, bool)
+        group_start_excl = np.maximum.accumulate(np.where(grp_change, excl, 0))
+        base = excl - group_start_excl
+        new_off = (base[par] + chunk) * CHUNK_STRIDE + row
+
+        # one output list per group_key (lists contiguous: par sorted)
+        grp_idx_doc = np.cumsum(grp_change) - 1 if len(gk) else np.zeros(0, np.int64)
+        n_groups = int(grp_idx_doc[-1]) + 1 if len(gk) else 0
+        counts = np.bincount(grp_idx_doc[par], minlength=n_groups)
+        offs = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        struct = pa.StructArray.from_arrays(
+            [
+                flat.field("kind"),
+                flat.field("text"),
+                flat.field("media_ref"),
+                pa.array(new_off.astype("int32"), pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        out_spans = pa.ListArray.from_arrays(pa.array(offs, pa.int64()).cast(pa.int32()), struct)
+        gk_out = gk[np.flatnonzero(grp_change)] if len(gk) else gk
+        doc_ids = pa.array([f"group-{int(g):06d}" for g in gk_out], pa.string())
+        return pa.table({"doc_id": doc_ids, "spans": out_spans}, schema=INPUT_SCHEMA)
+
+    out = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
     return _project_counts(out)
 
 
+def _pair_merge(sf_dir: str, mode: str, num_buckets: int = 256):
+    """Shared engine for insertpages/replacepages: documents pair up
+    (doc 2k = base, doc 2k+1 = insert source), chunks re-mapped by the
+    mode's rank formula:
+
+    - insert  (src/insertpages/insert-pdf-pages.js:63-75): the whole
+      partner document is inserted after the base's first chunk —
+      base rank 0 → 0, partner rank r → 1+r, base rank r ≥ 1 → 1+n_p+r-1.
+    - replace (src/replacepages/replace-pdf-pages.js:64-75): base
+      chunks [1, 3) are replaced by the partner's FIRST chunk —
+      base 0 → 0, partner 0 → 1, base r ≥ 3 → r-1; the rest drop.
+
+    One bucketed exchange; all rank arithmetic vectorized on the flat
+    span table."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = _spans_corpus(sf_dir)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        nums = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = t.append_column("pair", pa.array(nums // 2))
+        t = t.append_column("role", pa.array((nums % 2).astype("int8")))
+        return t.append_column("gb", pa.array(((nums // 2) % num_buckets).astype("int32")))
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        si = pc.sort_indices(t, sort_keys=[("pair", "ascending"), ("role", "ascending")])
+        t = t.take(si)
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+        rank_span, gid, group_par, rank_group, npg_group = _chunk_ranks(par_s, chunk_s)
+
+        nchunks_doc = np.zeros(t.num_rows, dtype=np.int64)
+        if len(group_par):
+            nchunks_doc[group_par] = npg_group
+        idx1 = np.flatnonzero(role == 1)
+        pair1 = pair[idx1]  # sorted (pair asc, role asc → unique per pair)
+        np1_of = nchunks_doc[idx1]
+        pair_span = pair[par_s]
+        role_span = role[par_s]
+        pos = np.searchsorted(pair1, pair_span)
+        pos_c = np.clip(pos, 0, max(0, len(pair1) - 1))
+        np1_span = np.where(
+            (len(pair1) > 0) & (pair1[pos_c] == pair_span), np1_of[pos_c], 0
+        )
+
+        r = rank_span
+        if mode == "insert":
+            keep = np.ones(len(par_s), dtype=bool)
+            new_chunk = np.where(
+                role_span == 1, 1 + r, np.where(r == 0, 0, 1 + np1_span + r - 1)
+            )
+        else:  # replace
+            keep = np.where(role_span == 0, (r == 0) | (r >= 3), r == 0)
+            new_chunk = np.where(role_span == 1, 1, np.where(r == 0, 0, r - 1))
+
+        flat_k = flat_s.filter(pa.array(keep))
+        par_k = par_s[keep]
+        new_off = new_chunk[keep] * CHUNK_STRIDE + row_s[keep]
+
+        # one output doc per pair, named after the base (role-0) doc
+        upairs, first_of_pair = np.unique(pair, return_index=True)
+        # role-0 row index per pair (role asc within pair → first row)
+        pair_idx_span = np.searchsorted(upairs, pair_span[keep])
+        counts = np.bincount(pair_idx_span, minlength=len(upairs))
+        offs = np.zeros(len(upairs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        struct = pa.StructArray.from_arrays(
+            [
+                flat_k.field("kind"),
+                flat_k.field("text"),
+                flat_k.field("media_ref"),
+                pa.array(new_off.astype("int32"), pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        out_spans = pa.ListArray.from_arrays(pa.array(offs, pa.int64()).cast(pa.int32()), struct)
+        doc_ids = pc.take(t["doc_id"], pa.array(first_of_pair))
+        return pa.table({"doc_id": doc_ids, "spans": out_spans}, schema=INPUT_SCHEMA)
+
+    out = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+    return _project_counts(out)
+
+
+def insert_pages(sf_dir: str):
+    """insertpages: partner document spliced in after the base's first
+    chunk (see _pair_merge)."""
+    return _pair_merge(sf_dir, "insert")
+
+
+def replace_pages(sf_dir: str):
+    """replacepages: base chunks [1,3) replaced by the partner's first
+    chunk (see _pair_merge)."""
+    return _pair_merge(sf_dir, "replace")
+
+
 def delete_chunks(sf_dir: str, lo: int = 1, hi: int = 3):
+    """Drop chunks in [lo, hi), close the gap (deletepages)."""
+    import numpy as np
+
     ds = _spans_corpus(sf_dir)
 
     def fn(t: pa.Table) -> pa.Table:
-        rows = [
-            {"doc_id": r["doc_id"], "spans": delete_chunks_doc(r["spans"], lo, hi)}
-            for r in t.to_pylist()
-        ]
-        return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+        keep = ~((chunk_s >= lo) & (chunk_s < hi))
+        flat_k = flat_s.filter(pa.array(keep))
+        par_k, chunk_k, row_k = par_s[keep], chunk_s[keep], row_s[keep]
+        rank_span, *_ = _chunk_ranks(par_k, chunk_k)
+        new_off = rank_span * CHUNK_STRIDE + row_k
+        return _rebuild(t["doc_id"], t.num_rows, par_k, flat_k, new_off)
 
     return _project_counts(ds.map_batches(fn, batch_format="pyarrow"))
 
 
 def reorder_chunks(sf_dir: str):
+    """Reverse the chunk order (reorderpages with a reversed range)."""
+    import numpy as np
+
     ds = _spans_corpus(sf_dir)
 
     def fn(t: pa.Table) -> pa.Table:
-        rows = [
-            {"doc_id": r["doc_id"], "spans": reorder_chunks_doc(r["spans"])}
-            for r in t.to_pylist()
-        ]
-        return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+        rank_span, gid, _, rank_group, npg_group = _chunk_ranks(par_s, chunk_s)
+        rev_group = (npg_group - 1) - rank_group if len(rank_group) else rank_group
+        new_off = (rev_group[gid] if len(par_s) else rank_span) * CHUNK_STRIDE + row_s
+        return _rebuild(t["doc_id"], t.num_rows, par_s, flat_s, new_off)
 
     return _project_counts(ds.map_batches(fn, batch_format="pyarrow"))
 
 
 def watermark(sf_dir: str):
-    """Broadcast-small-side merge: one watermark ref applied to every
-    document (the two-input map; small side rides in the closure)."""
+    """Broadcast-small-side merge: one watermark media span inserted at
+    the head of every chunk (pdfwatermark; small side in the closure).
+    Vectorized: watermark rows are concatenated to the flat span table
+    with row = -1 so the (doc, chunk, row) lexsort interleaves them at
+    each chunk head; new offset = chunk·STRIDE + row + 1 for everyone."""
+    import numpy as np
+
     wm_ref = "mem://assets/watermark-draft"
     ds = _spans_corpus(sf_dir)
 
     def fn(t: pa.Table) -> pa.Table:
-        rows = [
-            {"doc_id": r["doc_id"], "spans": watermark_doc(r["spans"], wm_ref)}
-            for r in t.to_pylist()
-        ]
-        return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+        rank_span, gid, group_par, rank_group, _ = _chunk_ranks(par_s, chunk_s)
+        n_groups = len(group_par)
+        if n_groups:
+            # chunk index per group = chunk_s at each group start
+            starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+            chunk_group = chunk_s[starts]
+            wm_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(["page_image"] * n_groups, pa.string()),
+                    pa.array([""] * n_groups, pa.string()),
+                    pa.array([wm_ref] * n_groups, pa.string()),
+                    pa.array(np.zeros(n_groups, dtype="int32"), pa.int32()),
+                ],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            flat_all = pa.concat_arrays([flat_s, wm_struct])
+            par_all = np.concatenate([par_s, group_par])
+            chunk_all = np.concatenate([chunk_s, chunk_group])
+            row_all = np.concatenate([row_s, np.full(n_groups, -1, dtype=np.int64)])
+            order = np.lexsort((row_all, chunk_all, par_all))
+            flat_all = flat_all.take(pa.array(order))
+            par_all = par_all[order]
+            new_off = chunk_all[order] * CHUNK_STRIDE + row_all[order] + 1
+        else:
+            flat_all, par_all, new_off = flat_s, par_s, row_s
+        return _rebuild(t["doc_id"], t.num_rows, par_all, flat_all, new_off)
 
     return _project_counts(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def rotate_pages(sf_dir: str, angle: int = 90):
+    """rotatepages as a first-class query: every media span's payload
+    reference is tagged with the rotation transform (by-reference byte
+    op, like the reference's per-page rotate); text spans untouched.
+    Fully vectorized (no reorder → list structure reused as-is).
+    Projection: per-doc span/rotated-media counts."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = _spans_corpus(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        is_media = pc.and_(
+            pc.equal(flat.field("kind"), pa.scalar("page_image")),
+            pc.not_equal(flat.field("media_ref"), pa.scalar("")),
+        )
+        tagged = pc.binary_join_element_wise(
+            flat.field("media_ref"), pa.scalar(f"#rot{angle}"), ""
+        )
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n_rot = np.zeros(t.num_rows, dtype="int64")
+        np.add.at(n_rot, par, is_media.to_numpy(zero_copy_only=False).astype("int64"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_spans": pc.cast(pc.list_value_length(spans), pa.int64()),
+                "n_media_rotated": pa.array(n_rot),
+                # the tagged refs feed the downstream byte stage; the
+                # projection keeps the query SQL-checkable
+                "rot_ref_len": pa.array(
+                    np.bincount(
+                        par,
+                        weights=pc.utf8_length(
+                            pc.if_else(is_media, tagged, flat.field("media_ref"))
+                        ).to_numpy(zero_copy_only=False),
+                        minlength=t.num_rows,
+                    ).astype("int64")
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def span_properties(sf_dir: str):

@@ -126,3 +126,57 @@ def test_combine_docs_groups(ray_session):
     df = spanops.combine_docs(SF).to_pandas()
     assert df["doc_id"].str.startswith("group-").all()
     assert len(df) == 50  # 500 docs / group_size 10
+
+
+def _counts(spans):
+    n = len(spans)
+    cs = sum(int(s["offset"]) * 31 % 1_000_003 for s in spans)
+    return n, cs
+
+
+def test_vectorized_surgery_matches_pure_kernels(ray_session):
+    """The Arrow/numpy stage implementations must agree with the pure
+    per-doc kernels (the reference-semantics source of truth) on every
+    document — counts + offset checksums."""
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.sources.corpus import document_to_spans
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    spans_by_doc = {
+        f"doc-{d['doc_id']:08d}": document_to_spans(d["doc_id"], d["text"]) for d in docs
+    }
+
+    cases = [
+        (spanops.delete_chunks, lambda s: spanops.delete_chunks_doc(s, 1, 3)),
+        (spanops.reorder_chunks, spanops.reorder_chunks_doc),
+        (spanops.watermark, lambda s: spanops.watermark_doc(s, "mem://assets/watermark-draft")),
+    ]
+    for query, kernel in cases:
+        df = query(SF).to_pandas().set_index("doc_id")
+        for doc_id, spans in list(spans_by_doc.items())[:60]:
+            n, cs = _counts(kernel(spans))
+            row = df.loc[doc_id]
+            assert (row["n_spans"], row["offset_checksum"]) == (n, cs), (
+                f"{query.__name__} disagrees with kernel on {doc_id}"
+            )
+
+    # split: one row per chunk, kernel per doc
+    split_df = spanops.split_chunks(SF).to_pandas().set_index("doc_id")
+    for doc_id, spans in list(spans_by_doc.items())[:40]:
+        for part in spanops.split_doc(doc_id, spans):
+            n, cs = _counts(part["spans"])
+            row = split_df.loc[part["doc_id"]]
+            assert (row["n_spans"], row["offset_checksum"]) == (n, cs)
+
+
+def test_pair_merge_queries(ray_session):
+    ins = spanops.insert_pages(SF).to_pandas()
+    rep = spanops.replace_pages(SF).to_pandas()
+    assert len(ins) == 250 and len(rep) == 250
+    # insertion preserves every span of both pair members
+    props = spanops.span_properties(SF).to_pandas()
+    props["pair"] = props["doc_id"].str.slice(4).astype(int) // 2
+    per_pair = props.groupby("pair")["n_spans"].sum()
+    ins_ids = ins["doc_id"].str.slice(4).astype(int) // 2
+    assert (ins.set_index(ins_ids)["n_spans"].sort_index() == per_pair.sort_index()).all()
