@@ -153,6 +153,22 @@ def make_batch_combine(num_buckets: int = NUM_BUCKETS):
         if multi_slices:
             for a, b in multi_slices:
                 rows = t.slice(a, b - a).to_pylist()
+                # CONTIGUITY INVARIANT: a doc's rows inside one batch
+                # must form a consecutive chunk range — explode emits
+                # dense chunk_idx in order and Ray blocks are contiguous
+                # stream slices, so this holds unless an order-perturbing
+                # op (repartition/random_shuffle) is inserted between
+                # parse and combine. Merging non-adjacent chunks would
+                # create false norm_comp adjacencies (spurious tipo
+                # needles) and could mis-pick numero/estado, so fail
+                # loudly instead.
+                chunk_ids = [r["chunk_idx"] for r in rows]
+                if chunk_ids[-1] - chunk_ids[0] + 1 != len(chunk_ids):
+                    raise AssertionError(
+                        f"non-contiguous chunk run for doc {rows[0]['doc_id']!r}: "
+                        f"{chunk_ids} — was an order-perturbing op inserted "
+                        "between explode/parse and combine?"
+                    )
                 merged = _combine(rows)
                 merged["doc_id"] = rows[0]["doc_id"]
                 merged["__bucket"] = bucket_of(rows[0]["doc_id"], num_buckets)

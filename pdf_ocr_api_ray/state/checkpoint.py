@@ -36,8 +36,12 @@ def completed_partitions(out_dir: str) -> set[int]:
     """Partitions recorded as DONE; error lines (status='error') are
     retried on resume — the reference's per-job error status analogue
     (server.cjs:86-92), but at partition granularity and retryable."""
+    return {rec["partition"] for rec in _done_records(out_dir)}
+
+
+def _done_records(out_dir: str) -> list[dict]:
     path = _manifest_path(out_dir)
-    done: set[int] = set()
+    out: list[dict] = []
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
@@ -46,8 +50,42 @@ def completed_partitions(out_dir: str) -> set[int]:
                     continue
                 rec = json.loads(line)
                 if rec.get("status", "done") == "done":
-                    done.add(rec["partition"])
-    return done
+                    out.append(rec)
+    return out
+
+
+def _validate_resume(
+    out_dir: str, input_path: str, num_partitions: int, shards: list[str] | None
+) -> None:
+    """Fail fast when a resume doesn't match what the manifest recorded.
+
+    Skipping a partition is only sound if the partition FUNCTION is
+    unchanged: same num_partitions, same input, and (sharded mode) the
+    same shard listing — otherwise the skip silently duplicates or
+    drops documents. A changed spec must use a fresh out_dir."""
+    for rec in _done_records(out_dir):
+        if rec.get("num_partitions") not in (None, num_partitions):
+            raise ValueError(
+                f"resume mismatch: manifest recorded num_partitions="
+                f"{rec.get('num_partitions')} but this run uses {num_partitions}; "
+                f"use a fresh out_dir (completed partitions would be re-keyed)"
+            )
+        if rec.get("input_path") not in (None, input_path):
+            raise ValueError(
+                f"resume mismatch: manifest recorded input_path="
+                f"{rec.get('input_path')!r} but this run reads {input_path!r}; "
+                f"use a fresh out_dir"
+            )
+        rec_shards = rec.get("shards")
+        if rec_shards is not None and shards is not None:
+            p = rec["partition"]
+            cur = shards[p :: num_partitions]
+            if rec_shards != cur:
+                raise ValueError(
+                    f"resume mismatch: partition {p} previously owned shards "
+                    f"{rec_shards} but the input directory now yields {cur} "
+                    f"(shards added/removed/renamed); use a fresh out_dir"
+                )
 
 
 def _stage_metrics(ds) -> dict:
@@ -127,6 +165,7 @@ def run_checkpointed(
     processed = []
     shards = _input_shards(input_path)
     use_shards = shards is not None and len(shards) >= num_partitions
+    _validate_resume(out_dir, input_path, num_partitions, shards if use_shards else None)
 
     for p in range(num_partitions):
         if p in done:

@@ -121,3 +121,40 @@ def test_shard_mode_resume(ray_session, depara, tmp_path):
 
     lines = [json.loads(x) for x in open(os.path.join(out_dir, "manifest.jsonl"))]
     assert all(line["shards"] for line in lines)  # lineage records file slices
+
+
+def test_resume_spec_mismatch_fails_fast(ray_session, depara, input_parquet, tmp_path):
+    """Resuming with a different partition count, input path, or shard
+    listing must refuse (skipping would duplicate/drop documents)."""
+    path, _ = input_parquet
+    out_dir = str(tmp_path / "out3")
+    run_checkpointed(path, out_dir, num_partitions=2, depara=depara, max_partitions=1)
+
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_checkpointed(path, out_dir, num_partitions=4, depara=depara)
+    with pytest.raises(ValueError, match="input_path"):
+        run_checkpointed(path + ".other", out_dir, num_partitions=2, depara=depara)
+    # unchanged spec still resumes fine
+    r = run_checkpointed(path, out_dir, num_partitions=2, depara=depara)
+    assert sorted(r["completed"]) == [0, 1]
+
+
+def test_resume_shard_listing_mismatch_fails_fast(ray_session, depara, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.sources.fixtures import docs_to_table, generate_fixture_docs
+
+    docs = generate_fixture_docs(families=["f1_table_basic"], docs_per_family=8)
+    in_dir = tmp_path / "sharded"
+    in_dir.mkdir()
+    tbl = docs_to_table(docs)
+    for i in range(0, tbl.num_rows, 2):
+        pq.write_table(tbl.slice(i, 2), str(in_dir / f"shard-{i:03d}.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    run_checkpointed(str(in_dir), out_dir, num_partitions=2, depara=depara, max_partitions=1)
+
+    # grow the input directory → partition 0's shard slice changes
+    pq.write_table(tbl.slice(0, 2), str(in_dir / "shard-999.parquet"))
+    with pytest.raises(ValueError, match="shards"):
+        run_checkpointed(str(in_dir), out_dir, num_partitions=2, depara=depara)
