@@ -8,9 +8,11 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
   salted reassembly (SURVEY.md §3.1).
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the training-data operator set).
-- ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents; sketch-based
-  and extraction pipelines are intentionally omitted (rows-only checks;
-  their correctness gates are the pytest oracle suites).
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents for EVERY
+  query (47/47) — corpus-derived queries embed the md5-draw corpus
+  regeneration CTEs (pdf_ocr_api_ray/oracles.py), so even the flagship
+  extraction and the sketch-based dedup/ANN paths are value-checked
+  from first principles.
 """
 
 from __future__ import annotations
@@ -97,7 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
-        # flagship extraction (rows-only vs driver; pytest pins spans)
+        # flagship extraction (DuckDB oracle recomputes the projection
+        # from the regenerated corpus; pytest pins full span sequences)
         "extract_documents": _extract_documents,
         # relational coverage
         "pricing_summary": relational.pricing_summary,
@@ -139,7 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed decode)
         "media_features": media.media_features,
         # span surgery (Adobe sample-family analogues, SURVEY.md §2.3;
-        # rows-only — semantics pinned by tests/test_spanops.py oracles)
+        # SQL-verified via corpus-regen oracles + test_spanops kernels)
         "span_split": spanops.split_chunks,
         "span_combine": spanops.combine_docs,
         "span_delete": spanops.delete_chunks,
@@ -150,8 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rotate_pages": spanops.rotate_pages,
         "insert_pages": spanops.insert_pages,
         "replace_pages": spanops.replace_pages,
-        # byte-transform families (compress/protect analogues; rows-only,
-        # round-trip integrity pinned by tests/test_bytesops.py)
+        # byte-transform families (compress/protect analogues; SQL checks
+        # raw_len + round-trip flags, tests/test_bytesops.py pins bytes)
         "compress_payloads": bytesops.compress_payloads,
         "protect_payloads": bytesops.protect_payloads,
         # electronicseal family: credential-holding actor pool

@@ -36,7 +36,7 @@ REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
 
 def _corpus_path() -> str:
     key = f"{SF_DIR.strip('/').replace('/', '_')}_x{REPLICATE}"
-    return f"/tmp/graft_bench_corpus_{key}_v2"
+    return f"/tmp/graft_bench_corpus_{key}_v3"  # v3: md5-draw corpus
 
 
 def build_corpus() -> tuple[str, int, int]:
@@ -143,9 +143,11 @@ def run_bench() -> dict:
     timeq("lang_id", text.lang_id, consume="count")
     timeq("dedup_exact", dedup.dedup_exact, consume="count")
     timeq("dedup_minhash_lsh", dedup.dedup_minhash_lsh, consume="count")
+    timeq("dedup_simhash", dedup.dedup_simhash, consume="count")
     timeq("ann_topk", similarity.ann_topk)
     timeq("sessionize", events.sessionize, consume="count")
     timeq("running_total", events.running_total, consume="count")
+    timeq("asof_last_order", events.asof_last_order, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

@@ -631,7 +631,7 @@ def extract_layout(sf_dir: str):
 
 
 def _project_counts(ds):
-    """Compact rows-only result: per-doc span count + offset checksum
+    """Compact SQL-checkable result: per-doc span count + offset checksum
     (stable fingerprint of the surgery result)."""
     import pyarrow.compute as pc
 
