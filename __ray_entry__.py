@@ -54,12 +54,12 @@ def _extract_documents(sf_dir: str):
     flat per-doc result projection (scalars + record/span counts)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
 
+    from pdf_ocr_api_ray.pipelines._util import read_parquet_clean
     from pdf_ocr_api_ray.pipelines.extraction import build_extraction
     from pdf_ocr_api_ray.sources.corpus import documents_batch_to_spans
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     spans_ds = docs.map_batches(documents_batch_to_spans, batch_format="pyarrow")
     out = build_extraction(spans_ds)
 

@@ -15,6 +15,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with the file's pandas metadata
+    stripped from the schema. The driver-written testdata parquet
+    carries a ``pandas`` metadata dict, and a ``pa.Schema`` holding a
+    dict is unhashable — every block then fails Ray's schema
+    deduplication ("Failed to hash the schemas…" log spam) and can
+    mask a real schema drift. Passing the metadata-free schema makes
+    block schemas identical and hashable."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
 def round_half_away(s: pd.Series, ndigits: int) -> pd.Series:
     f = 10.0**ndigits
     arr = s.to_numpy(dtype=np.float64)

@@ -17,6 +17,8 @@ import zlib
 import pandas as pd
 import pyarrow as pa
 
+from ._util import read_parquet_clean
+
 
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
@@ -26,7 +28,7 @@ def _payload_ds(sf_dir: str):
     """documents → (doc_id, payload: binary) — the opaque-bytes column."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_bytes(t: pa.Table) -> pa.Table:
         payload = pa.array([x.encode("utf-8") for x in t["text"].to_pylist()], pa.binary())
@@ -71,7 +73,7 @@ def seal_documents(sf_dir: str, concurrency: int = 2):
     weights in the OCR stage)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(SealSigner, concurrency=concurrency, batch_format="pyarrow")
 
 

@@ -43,7 +43,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ._util import round_half_away
+from ._util import read_parquet_clean, round_half_away
 
 _TOKEN_RE = re.compile(r"\S+")
 
@@ -113,7 +113,7 @@ def _augmented_documents(sf_dir: str, mutated: bool = False):
     mutated copies (id%7==0, +2_000_000, first token doubled)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def dup_rows(df: pd.DataFrame) -> pd.DataFrame:
         outs = [df[["doc_id", "text"]]]
@@ -440,7 +440,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     baseline): pairs (a<b) in the same ``source`` with J ≥ threshold."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("doc_id")

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ._util import round_half_away
+from ._util import read_parquet_clean, round_half_away
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -25,7 +25,7 @@ def events_daily(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
 
     def add_day(df: pd.DataFrame) -> pd.DataFrame:
         df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
@@ -62,7 +62,7 @@ def running_total(sf_dir: str):
     window regardless of accumulation tree shape."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -98,7 +98,7 @@ def systematic_sample(sf_dir: str, k: int = 17):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
 
@@ -131,7 +131,7 @@ def union_parties(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"]).map_batches(
+    cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_nationkey"]).map_batches(
         lambda t: pa.table(
             {
                 "nationkey": t["c_nationkey"],
@@ -140,7 +140,7 @@ def union_parties(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    supp = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"]).map_batches(
+    supp = read_parquet_clean(_t(sf_dir, "supplier"), columns=["s_nationkey"]).map_batches(
         lambda t: pa.table(
             {
                 "nationkey": t["s_nationkey"],
@@ -162,7 +162,7 @@ def json_props_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "props"])
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized scalar-field extraction (the props values are flat
@@ -191,7 +191,7 @@ def sessionize(sf_dir: str):
     per-user session count and the longest session's event count."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -277,10 +277,10 @@ def asof_last_order(sf_dir: str):
             }
         )
 
-    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]).map_batches(
+    events = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]).map_batches(
         tag_events, batch_format="pandas"
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
     ).map_batches(tag_orders, batch_format="pandas")
 

@@ -12,6 +12,8 @@ src/externalstorage/*).
 
 from __future__ import annotations
 
+from ._util import read_parquet_clean
+
 import pandas as pd
 
 
@@ -53,7 +55,7 @@ def media_features(sf_dir: str):
     in for media rows: doc_id + payload-size metadata)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
     return ds.map_batches(
         MediaDecoder,
         batch_format="pandas",

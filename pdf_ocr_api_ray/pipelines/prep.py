@@ -19,7 +19,7 @@ import hashlib
 
 import pandas as pd
 
-from ._util import round_half_away
+from ._util import read_parquet_clean, round_half_away
 from .text import STOPWORDS_RE, _TOKEN_RE
 
 
@@ -34,7 +34,7 @@ def training_prep(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
 
     def metrics(df: pd.DataFrame) -> pd.DataFrame:
         lower = df["text"].str.lower()

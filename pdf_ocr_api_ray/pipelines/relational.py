@@ -29,7 +29,7 @@ from datetime import datetime
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._util import round_cols_arrow as _round_cols
+from ._util import read_parquet_clean, round_cols_arrow as _round_cols
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -57,7 +57,7 @@ def pricing_summary(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -101,7 +101,7 @@ def top_orders(sf_dir: str):
     partial set is sorted once. Shuffle volume = 10 rows per block."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
 
@@ -137,7 +137,7 @@ def orders_per_nation(sf_dir: str):
     # pre-aggregate the fact side by the join key BEFORE the join: the
     # join inputs shrink from |orders| rows to ≤|customer| rows, so the
     # hash-partitioned exchange moves aggregates, not facts
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
     def quantize(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -149,7 +149,7 @@ def orders_per_nation(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
     )
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     joined = per_cust.join(
         cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
@@ -176,7 +176,7 @@ def mktsegment_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment", "c_acctbal"])
+    ds = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_mktsegment", "c_acctbal"])
 
     def quantize(t: pa.Table) -> pa.Table:
         return t.append_column("bal_c", _icol(t, "c_acctbal", 100.0))
@@ -205,7 +205,7 @@ def revenue_by_returnflag_1995(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
         filter=(
@@ -250,15 +250,17 @@ def orders_outside_segment(sf_dir: str, segment: str = "AUTOMOBILE"):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    cust = rd.read_parquet(
+    # the filter column must be part of the pruned schema for the scan
+    # expression to bind; it is dropped by the unique() right after
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"),
-        columns=["c_custkey"],
+        columns=["c_custkey", "c_mktsegment"],
         filter=(_pc.field("c_mktsegment") == segment),
     )
     keys = cust.unique("c_custkey")
     keyset_ref = ray.put(np.sort(np.array(keys, dtype=np.int64)))
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+    orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
 
     def anti(t: pa.Table) -> pa.Table:
         import ray as _ray
@@ -287,7 +289,7 @@ def latest_order_per_customer(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Max
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
     )
 
@@ -321,7 +323,7 @@ def part_type_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_type"])
+    ds = read_parquet_clean(_t(sf_dir, "part"), columns=["p_type"])
     return ds.groupby("p_type").aggregate(Count(alias_name="n_parts"))
 
 
@@ -330,7 +332,7 @@ def supplier_balance(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+    ds = read_parquet_clean(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
 
     def quantize(t: pa.Table) -> pa.Table:
         return t.append_column("bal_c", _icol(t, "s_acctbal", 100.0))

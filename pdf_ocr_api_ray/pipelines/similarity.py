@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._util import read_parquet_clean
+
 
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
@@ -46,7 +48,7 @@ def ann_topk(sf_dir: str):
     import ray.data as rd
 
     probe_ids, probes = _probe_matrix(sf_dir)
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ann_topk_impl(ds, probe_ids, probes)
 
 
@@ -142,7 +144,7 @@ def ann_topk_lsh(sf_dir: str, n_probe_buckets: int = 37):
     import ray.data as rd
 
     probe_ids, probes = _probe_matrix(sf_dir)
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
         lambda df: _augment_probe_dups(df, probe_ids), batch_format="pandas"
     )
     return ann_topk_lsh_impl(ds, probe_ids, probes, n_probe_buckets)
@@ -211,7 +213,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.9):
     oracle below."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
         _augment, batch_format="pandas"
     )
 
@@ -258,7 +260,7 @@ def embedding_near_dup_bruteforce(sf_dir: str, threshold: float = 0.9):
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     corpus_ref = ray.put((all_ids, mat))
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
         _augment, batch_format="pandas"
     )
 

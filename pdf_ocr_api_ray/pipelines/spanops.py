@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ._util import read_parquet_clean
+
 from ..functions.ocr import CHUNK_STRIDE
 from ..schemas import INPUT_SCHEMA
 
@@ -32,7 +34,7 @@ def _spans_corpus(sf_dir: str):
 
     from ..sources.corpus import documents_batch_to_spans
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(documents_batch_to_spans, batch_format="pyarrow")
 
 

@@ -17,7 +17,7 @@ import re
 import pandas as pd
 import pyarrow as pa
 
-from ._util import round_half_away
+from ._util import read_parquet_clean, round_half_away
 
 _TOKEN_RE = re.compile(r"\S+")
 _WS_RE = re.compile(r"\s+")
@@ -45,7 +45,7 @@ def doc_stats(sf_dir: str):
     """Per-doc token/char counts and average word length."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.count(_TOKEN_RE)
@@ -68,7 +68,7 @@ def lang_id(sf_dir: str):
     (fixed priority order on ties)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
         lower = df["text"].str.lower()
@@ -94,7 +94,7 @@ def quality_score(sf_dir: str):
     """Heuristic document-quality scoring (stopword ratio + length term)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         lower = df["text"].str.lower()
@@ -125,7 +125,7 @@ def fingerprint(sf_dir: str):
     reproducible in SQL: md5(trim(regexp_replace(lower(text),…))))."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         norm = df["text"].map(normalize_text)
@@ -148,7 +148,7 @@ def token_count_bpe(sf_dir: str):
     applies the identical pattern)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def count(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -179,7 +179,7 @@ def ocr_postclean(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def clean(df: pd.DataFrame) -> pd.DataFrame:
         s = df["text"].str.replace(_OCR_JUNK_RE, "", regex=True)
@@ -206,7 +206,7 @@ def document_merge(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
     )
 
@@ -235,7 +235,7 @@ def token_freq(sf_dir: str, min_count: int = 50):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         counts = df["text"].str.findall(_TOKEN_RE).explode().value_counts()
