@@ -189,14 +189,12 @@ def _rebuild(doc_ids, n_docs: int, par_s, flat_s, new_off) -> "pa.Table":
 # ---------- Ray stages / queries ----------
 
 
-def split_chunks(sf_dir: str):
-    """doc → one output row per chunk, chunk re-based to 0 (splitpdf)."""
+def split_batch(t: pa.Table) -> pa.Table:
+    """Vectorized splitpdf batch transform (see split_chunks)."""
     import numpy as np
     import pyarrow.compute as pc
 
-    ds = _spans_corpus(sf_dir)
-
-    def fn(t: pa.Table) -> pa.Table:
+    if True:  # keep the original closure body's indentation
         flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
         rank_span, gid, group_par, rank_group, _ = _chunk_ranks(par_s, chunk_s)
         n = len(par_s)
@@ -245,7 +243,11 @@ def split_chunks(sf_dir: str):
             out = pa.concat_tables([out, empty])
         return out
 
-    out = ds.map_batches(fn, batch_format="pyarrow")
+
+def split_chunks(sf_dir: str):
+    """doc → one output row per chunk, chunk re-based to 0 (splitpdf)."""
+    ds = _spans_corpus(sf_dir)
+    out = ds.map_batches(split_batch, batch_format="pyarrow")
     return _project_counts(out)
 
 
@@ -427,52 +429,50 @@ def replace_pages(sf_dir: str):
     return _pair_merge(sf_dir, "replace")
 
 
+def delete_batch(t: pa.Table, lo: int = 1, hi: int = 3) -> pa.Table:
+    """Vectorized deletepages batch transform."""
+    flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+    keep = ~((chunk_s >= lo) & (chunk_s < hi))
+    flat_k = flat_s.filter(pa.array(keep))
+    par_k, chunk_k, row_k = par_s[keep], chunk_s[keep], row_s[keep]
+    rank_span, *_ = _chunk_ranks(par_k, chunk_k)
+    new_off = rank_span * CHUNK_STRIDE + row_k
+    return _rebuild(t["doc_id"], t.num_rows, par_k, flat_k, new_off)
+
+
 def delete_chunks(sf_dir: str, lo: int = 1, hi: int = 3):
     """Drop chunks in [lo, hi), close the gap (deletepages)."""
-    import numpy as np
+    import functools
 
     ds = _spans_corpus(sf_dir)
+    return _project_counts(
+        ds.map_batches(functools.partial(delete_batch, lo=lo, hi=hi), batch_format="pyarrow")
+    )
 
-    def fn(t: pa.Table) -> pa.Table:
-        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
-        keep = ~((chunk_s >= lo) & (chunk_s < hi))
-        flat_k = flat_s.filter(pa.array(keep))
-        par_k, chunk_k, row_k = par_s[keep], chunk_s[keep], row_s[keep]
-        rank_span, *_ = _chunk_ranks(par_k, chunk_k)
-        new_off = rank_span * CHUNK_STRIDE + row_k
-        return _rebuild(t["doc_id"], t.num_rows, par_k, flat_k, new_off)
 
-    return _project_counts(ds.map_batches(fn, batch_format="pyarrow"))
+def reorder_batch(t: pa.Table) -> pa.Table:
+    """Vectorized reorderpages batch transform (reverse chunk order)."""
+    flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+    rank_span, gid, _, rank_group, npg_group = _chunk_ranks(par_s, chunk_s)
+    rev_group = (npg_group - 1) - rank_group if len(rank_group) else rank_group
+    new_off = (rev_group[gid] if len(par_s) else rank_span) * CHUNK_STRIDE + row_s
+    return _rebuild(t["doc_id"], t.num_rows, par_s, flat_s, new_off)
 
 
 def reorder_chunks(sf_dir: str):
     """Reverse the chunk order (reorderpages with a reversed range)."""
+    ds = _spans_corpus(sf_dir)
+    return _project_counts(ds.map_batches(reorder_batch, batch_format="pyarrow"))
+
+
+def watermark_batch(t: pa.Table, wm_ref: str) -> pa.Table:
+    """Vectorized pdfwatermark batch transform: watermark rows are
+    concatenated to the flat span table with row = -1 so the
+    (doc, chunk, row) lexsort interleaves them at each chunk head;
+    new offset = chunk·STRIDE + row + 1 for everyone."""
     import numpy as np
 
-    ds = _spans_corpus(sf_dir)
-
-    def fn(t: pa.Table) -> pa.Table:
-        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
-        rank_span, gid, _, rank_group, npg_group = _chunk_ranks(par_s, chunk_s)
-        rev_group = (npg_group - 1) - rank_group if len(rank_group) else rank_group
-        new_off = (rev_group[gid] if len(par_s) else rank_span) * CHUNK_STRIDE + row_s
-        return _rebuild(t["doc_id"], t.num_rows, par_s, flat_s, new_off)
-
-    return _project_counts(ds.map_batches(fn, batch_format="pyarrow"))
-
-
-def watermark(sf_dir: str):
-    """Broadcast-small-side merge: one watermark media span inserted at
-    the head of every chunk (pdfwatermark; small side in the closure).
-    Vectorized: watermark rows are concatenated to the flat span table
-    with row = -1 so the (doc, chunk, row) lexsort interleaves them at
-    each chunk head; new offset = chunk·STRIDE + row + 1 for everyone."""
-    import numpy as np
-
-    wm_ref = "mem://assets/watermark-draft"
-    ds = _spans_corpus(sf_dir)
-
-    def fn(t: pa.Table) -> pa.Table:
+    if True:
         flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
         rank_span, gid, group_par, rank_group, _ = _chunk_ranks(par_s, chunk_s)
         n_groups = len(group_par)
@@ -501,7 +501,19 @@ def watermark(sf_dir: str):
             flat_all, par_all, new_off = flat_s, par_s, row_s
         return _rebuild(t["doc_id"], t.num_rows, par_all, flat_all, new_off)
 
-    return _project_counts(ds.map_batches(fn, batch_format="pyarrow"))
+
+def watermark(sf_dir: str):
+    """Broadcast-small-side merge: one watermark media span inserted at
+    the head of every chunk (pdfwatermark; small side in the closure)."""
+    import functools
+
+    ds = _spans_corpus(sf_dir)
+    return _project_counts(
+        ds.map_batches(
+            functools.partial(watermark_batch, wm_ref="mem://assets/watermark-draft"),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def rotate_pages(sf_dir: str, angle: int = 90):

@@ -1,0 +1,96 @@
+"""Property test: the vectorized span-surgery batch transforms must
+equal the pure per-doc kernels on ADVERSARIAL random span structures —
+shuffled span order inside lists, sparse/gapped chunk indices, empty
+docs, single-span docs, media-only chunks. (The corpus-based parity
+tests only exercise well-formed dense layouts.)"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from pdf_ocr_api_ray.functions.ocr import CHUNK_STRIDE
+from pdf_ocr_api_ray.pipelines import spanops
+from pdf_ocr_api_ray.schemas import INPUT_SCHEMA
+
+KINDS = ["text", "table_header", "table_cell", "page_image"]
+
+
+def _random_doc(rng: random.Random, i: int) -> dict:
+    roll = rng.random()
+    if roll < 0.08:
+        return {"doc_id": f"rnd-{i:05d}", "spans": []}
+    spans = []
+    # sparse, non-dense chunk indices (the ops must not assume 0..n-1)
+    chunks = sorted(rng.sample(range(0, 12), rng.randint(1, 5)))
+    for c in chunks:
+        rows = rng.sample(range(0, 40), rng.randint(1, 6))
+        for r in rows:
+            kind = rng.choice(KINDS)
+            spans.append(
+                {
+                    "kind": kind,
+                    "text": f"t{c}.{r}" if kind != "page_image" else "",
+                    "media_ref": f"mem://x/{c}/{r}" if kind == "page_image" else "",
+                    "offset": c * CHUNK_STRIDE + r,
+                }
+            )
+    rng.shuffle(spans)  # stored order is NOT offset order
+    return {"doc_id": f"rnd-{i:05d}", "spans": spans}
+
+
+def _canon(spans: list[dict]) -> list[tuple]:
+    return sorted(
+        (s["kind"], s["text"], s["media_ref"], int(s["offset"])) for s in spans
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = random.Random(20260817)
+    docs = [_random_doc(rng, i) for i in range(120)]
+    return docs, pa.Table.from_pylist(docs, schema=INPUT_SCHEMA)
+
+
+def test_delete_batch_matches_kernel(batch):
+    docs, t = batch
+    out = {r["doc_id"]: r["spans"] for r in spanops.delete_batch(t, 1, 3).to_pylist()}
+    for d in docs:
+        assert _canon(out[d["doc_id"]]) == _canon(
+            spanops.delete_chunks_doc(d["spans"], 1, 3)
+        ), d["doc_id"]
+
+
+def test_reorder_batch_matches_kernel(batch):
+    docs, t = batch
+    out = {r["doc_id"]: r["spans"] for r in spanops.reorder_batch(t).to_pylist()}
+    for d in docs:
+        assert _canon(out[d["doc_id"]]) == _canon(
+            spanops.reorder_chunks_doc(d["spans"])
+        ), d["doc_id"]
+
+
+def test_watermark_batch_matches_kernel(batch):
+    docs, t = batch
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in spanops.watermark_batch(t, "mem://assets/wm").to_pylist()
+    }
+    for d in docs:
+        assert _canon(out[d["doc_id"]]) == _canon(
+            spanops.watermark_doc(d["spans"], "mem://assets/wm")
+        ), d["doc_id"]
+
+
+def test_split_batch_matches_kernel(batch):
+    docs, t = batch
+    rows = spanops.split_batch(t).to_pylist()
+    got: dict[str, list] = {r["doc_id"]: r["spans"] for r in rows}
+    for d in docs:
+        for part in spanops.split_doc(d["doc_id"], d["spans"]):
+            assert _canon(got[part["doc_id"]]) == _canon(part["spans"]), part["doc_id"]
+    # row counts agree too (no extra/missing parts)
+    expected_rows = sum(len(spanops.split_doc(d["doc_id"], d["spans"])) for d in docs)
+    assert len(rows) == expected_rows
