@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": relational.latest_order_per_customer,
         # events / streaming-shaped
         "events_daily": events.events_daily,
+        "events_hopping": events.events_hopping,
         "running_total": events.running_total,
         "sessionize": events.sessionize,
         "asof_last_order": events.asof_last_order,
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity / embeddings
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
         # multimodal plumbing (stubbed decode)
         "media_features": media.media_features,
@@ -264,6 +266,23 @@ _RELATIONAL_ORACLES = {
                    count(*) AS n_events,
                    round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "events_hopping": """
+            -- 1h windows hopping every 15min: each event belongs to
+            -- exactly 4 window starts (base - i*900, i = 0..3)
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS base,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_u
+                FROM events
+            ), exploded AS (
+                SELECT event_type, base - 900 * i.i AS window_start, value_u
+                FROM e, (SELECT unnest([0, 1, 2, 3]) AS i) i
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n_events,
+                   round(sum(value_u) / 1000000.0, 2) AS sum_value
+            FROM exploded GROUP BY event_type, window_start
         """,
         "running_total": """
             -- micro-unit quantization per row BEFORE the window sum →

@@ -439,6 +439,8 @@ def corpus_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_simhash": dedup_simhash_sql(),
         "ann_topk_lsh": ann_topk_lsh_sql(),
+        # same planted-dup corpus + output contract → same oracle
+        "ann_topk_ivf": ann_topk_lsh_sql(),
         "rotate_pages": rotate_pages_sql(),
         "insert_pages": _pair_merge_sql("insert"),
         "replace_pages": _pair_merge_sql("replace"),

@@ -183,6 +183,50 @@ def json_props_stats(sf_dir: str):
     )
 
 
+def events_hopping(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
+    """Hopping (sliding) window aggregate: 1-hour windows advancing
+    every 15 minutes — each event contributes to window_s/hop_s = 4
+    overlapping windows. Ray Data has no event-time windowing; the
+    idiomatic mapping is a vectorized per-batch fan-out (one row per
+    (event, window_start)) followed by a grouped aggregate — the
+    exchange carries quantized partial rows, never raw events twice.
+    Output: (event_type, window_start epoch-seconds, n_events,
+    sum_value)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    k = window_s // hop_s
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        secs = df["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+        base = (secs // hop_s) * hop_s
+        value_u = np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        n = len(df)
+        # every event lands in exactly k windows: base - i*hop, i<k
+        starts = (base[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_s).ravel()
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(et, k),
+                "window_start": starts,
+                "value_u": np.repeat(value_u, k),
+            }
+        )
+
+    agg = (
+        ds.map_batches(fan_out, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_u", alias_name="value_u"))
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = round_half_away(pd.Series(df["value_u"] / 1e6), 2)
+        return df.drop(columns=["value_u"])
+
+    return agg.map_batches(derive, batch_format="pandas")
+
+
 SESSION_GAP_MIN = 30
 
 

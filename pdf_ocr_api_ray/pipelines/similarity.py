@@ -95,20 +95,20 @@ def _augment(df: pd.DataFrame) -> pd.DataFrame:
 
 
 N_PLANES = 8  # 2^8 = 256 LSH buckets
-_PLANE_RNG = np.random.RandomState(0xA11CE)
-_PLANES64: np.ndarray | None = None
+_PLANE_SEED = 0xA11CE
+_PLANES_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
 
-def _planes(dim: int) -> np.ndarray:
-    global _PLANES64
-    if _PLANES64 is None or _PLANES64.shape[1] != dim:
-        _PLANES64 = np.random.RandomState(0xA11CE).standard_normal((N_PLANES, dim))
-    return _PLANES64
+def _planes(dim: int, seed: int = _PLANE_SEED) -> np.ndarray:
+    key = (seed, dim)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = np.random.RandomState(seed).standard_normal((N_PLANES, dim))
+    return _PLANES_CACHE[key]
 
 
-def _lsh_bucket(vecs: np.ndarray) -> np.ndarray:
+def _lsh_bucket(vecs: np.ndarray, seed: int = _PLANE_SEED) -> np.ndarray:
     """Hyperplane LSH bucket id per row (deterministic planes)."""
-    signs = (vecs @ _planes(vecs.shape[1]).T) > 0
+    signs = (vecs @ _planes(vecs.shape[1], seed).T) > 0
     return (signs @ (1 << np.arange(N_PLANES))).astype(np.int64)
 
 
@@ -199,30 +199,121 @@ def ann_topk_lsh_impl(ds, probe_ids, probes, n_probe_buckets: int = 37):
     return partials.groupby("probe_id").map_groups(final_topk, batch_format="pandas")
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.9):
+def _kmeans_centroids(mat: np.ndarray, k: int = 16, iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on a (normalized) sample — the
+    IVF coarse quantizer. Init = first k sample rows (sample order is
+    vec_id order → reproducible); empty cells keep their centroid."""
+    cents = mat[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[c] = v / n
+    return cents
+
+
+IVF_CELLS = 16
+IVF_SAMPLE = 512
+
+
+def ann_topk_ivf(sf_dir: str, n_probe_cells: int = 4):
+    """IVF variant of the ANN scale path: a coarse quantizer (spherical
+    k-means over a small deterministic sample, trained driver-side and
+    broadcast) partitions the corpus into cells; each probe scans only
+    its ``n_probe_cells`` nearest cells. Same planted-duplicate corpus
+    and output contract as ``ann_topk_lsh`` — an exact copy of a probe
+    is assigned to the probe's own nearest cell, so the planted top-k
+    is recovered deterministically and the brute-force SQL oracle
+    applies unchanged."""
+    import pyarrow.parquet as pq
+
+    probe_ids, probes = _probe_matrix(sf_dir)
+    sample = (
+        pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(IVF_SAMPLE)
+    )
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+    cents = _kmeans_centroids(smat, IVF_CELLS)
+
+    # per probe: the n_probe_cells nearest cells (ties by cell id)
+    sims_pc = probes @ cents.T
+    probe_cells = np.argsort(-sims_pc, axis=1, kind="stable")[:, :n_probe_cells]
+
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+        lambda df: _augment_probe_dups(df, probe_ids), batch_format="pandas"
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        cells = np.argmax(vecs @ cents.T, axis=1)
+        ids = df["vec_id"].to_numpy()
+        out = []
+        for p in range(len(probe_ids)):
+            mask = np.isin(cells, probe_cells[p]) & (ids != probe_ids[p])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ probes[p]
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, -sims))[:TOP_K]
+            for i in order:
+                out.append((int(probe_ids[p]), int(cand_ids[i]), float(sims[i])))
+        return pd.DataFrame(out, columns=["probe_id", "neighbor_id", "sim"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["sim"] = np.round(g["sim"].to_numpy(), 9)  # see ann_topk_lsh_impl
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "probe_id": g["probe_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+            }
+        )
+
+    return partials.groupby("probe_id").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.9, n_tables: int = 1):
     """Cosine near-duplicates over the augmented corpus (id_a < id_b,
     cos ≥ τ) — the 10^9-vector pairs path: hyperplane-LSH bucketing
-    (256 buckets) + within-bucket exact cosine verification. One
-    shuffle carries (bucket, id, vector); no full-corpus broadcast, no
-    driver materialization. Near-dup vectors at cos ≈ 1 share a bucket
-    deterministically (identical codes); for recall on *boundary*
-    pairs (cos just above τ) the same stage runs per table over
-    several independent plane sets with pair-dedup — the corpus here
-    has only exact-copy dups, so one table is exact, and
-    tests/test_similarity.py cross-checks against the brute-force
-    oracle below."""
-    import ray.data as rd
+    (256 buckets per table) + within-bucket exact cosine verification.
+    One shuffle carries (table, bucket, id, vector); no full-corpus
+    broadcast, no driver materialization.
 
+    Near-dup vectors at cos ≈ 1 share a bucket deterministically
+    (identical codes) — one table is exact for that regime and is the
+    default. For recall on *boundary* pairs (cos just above τ, where a
+    hyperplane can fall between the two vectors with probability
+    ≈ N_PLANES·arccos(τ)/π per table) pass ``n_tables > 1``: each
+    table hashes with an independent plane set and surviving pairs are
+    deduped in hash buckets. tests/test_similarity.py cross-checks
+    both modes against the brute-force oracle below."""
     ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
         _augment, batch_format="pandas"
     )
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_buckets(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
-        df = df.copy()
-        df["bucket"] = _lsh_bucket(vecs)
-        return df
+        outs = []
+        for tbl in range(n_tables):
+            d = df.copy()
+            # composite key: table id in the high bits — one groupby
+            d["bucket"] = _lsh_bucket(vecs, _PLANE_SEED ^ tbl) + (tbl << N_PLANES)
+            outs.append(d)
+        return pd.concat(outs, ignore_index=True)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("vec_id")
@@ -239,10 +330,31 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.9):
             {"id_a": ids[ai].astype("int64"), "id_b": ids[bi].astype("int64")}
         )
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+    pairs = (
+        ds.map_batches(add_buckets, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    if n_tables == 1:
+        return pairs  # a pair appears in exactly one bucket
+
+    # cross-table duplicates → bucketed vectorized distinct (same idiom
+    # as dedup.py: never a per-pair-key aggregate)
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = (
+            (df["id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B9) + df["id_b"].to_numpy(np.uint64))
+            % 256
+        ).astype(np.int32)
+        return df
+
+    def distinct_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    return (
+        pairs.map_batches(add_pb, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(distinct_bucket, batch_format="pandas")
     )
 
 

@@ -73,6 +73,11 @@ def test_near_dup_lsh_equals_bruteforce(ray_session):
     brute = embedding_near_dup_bruteforce(SF).to_pandas()
     as_set = lambda d: {(a, b) for a, b in zip(d["id_a"], d["id_b"])}  # noqa: E731
     assert as_set(lsh) == as_set(brute)
+    # multi-table mode (boundary-recall path): same exact result here,
+    # and cross-table pair dedup must hold
+    multi = embedding_near_dup(SF, n_tables=3).to_pandas()
+    assert len(multi) == len(multi.drop_duplicates(["id_a", "id_b"]))
+    assert as_set(multi) == as_set(brute)
 
 
 def test_minhash_finds_exact_and_mutated_copies(ray_session):
