@@ -72,13 +72,10 @@ _BOILERPLATE_RAW = [
 ]
 
 BOILERPLATE_PATTERNS = [re.compile(p, re.IGNORECASE) for p in _BOILERPLATE_RAW]
-
-# hot-path form: one alternation scan instead of 36 sequential searches
-# (`any(p.search(t))` ≡ `combined.search(t)` — each alternative keeps
-# its own anchors; no MULTILINE, so ^/$ semantics are unchanged)
-_BOILERPLATE_COMBINED = re.compile(
-    "|".join(f"(?:{p})" for p in _BOILERPLATE_RAW), re.IGNORECASE
-)
+# note: a single 36-way alternation was MEASURED SLOWER than this loop
+# for the (majority) no-match case — CPython's re fast-scans each small
+# pattern by its literal prefix, which a big alternation can't — so the
+# loop IS the optimized form; don't "optimize" it back.
 
 DESC_MAX_LENGTH = 600
 
@@ -223,7 +220,7 @@ def filter_boilerplate(servicos: list[dict]) -> list[dict]:
             and cat == desc
         ):
             continue
-        if _BOILERPLATE_COMBINED.search(text):
+        if any(p.search(text) for p in BOILERPLATE_PATTERNS):
             continue
         out.append(s)
     return out
