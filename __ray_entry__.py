@@ -64,6 +64,26 @@ def _extract_documents(sf_dir: str):
     out = build_extraction(spans_ds)
 
     def flatten(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        # content checksum: md5 over the full serialized servico
+        # sequence (Item/Categoria/Descricao/Unidade/Quantidade joined
+        # by \x1f, records by \x1e) — the DuckDB oracle recomputes the
+        # identical strings from the regenerated corpus, so the driver
+        # verifies extracted CONTENT, not just counts
+        def smd5(servicos) -> str:
+            recs = [
+                "\x1f".join(
+                    "" if s.get(f) is None else str(s.get(f))
+                    for f in ("Item", "Categoria", "Descricao", "Unidade", "Quantidade")
+                )
+                for s in (servicos or [])
+            ]
+            return hashlib.md5("\x1e".join(recs).encode("utf-8")).hexdigest()
+
+        servico_md5 = pa.array(
+            [smd5(sv) for sv in t["Servicos"].to_pylist()], pa.string()
+        )
         # int64 throughout so the DuckDB oracle's BIGINTs match exactly
         return pa.table(
             {
@@ -74,6 +94,7 @@ def _extract_documents(sf_dir: str):
                 "Estado": t["Estado"],
                 "n_servicos": pc.cast(pc.list_value_length(t["Servicos"]), pa.int64()),
                 "n_spans": pc.cast(pc.list_value_length(t["spans"]), pa.int64()),
+                "servico_md5": servico_md5,
             }
         )
 

@@ -75,9 +75,62 @@ _NSERV = f"""CASE branch
 
 
 def extract_documents_sql() -> str:
+    from .sources.corpus_sql import _v, h_expr, qty_expr, win_expr
+
     cksum = _CKSUM  # unused here; silences linters on shared const
     del cksum
+    US = "chr(31)"
+    win = win_expr()
+    lab_unit_t = "'c'||c||'r'||i||'u'"
+    lab_unit_f = "'l'||i||'u'"
+    unit_t = f"CAST(1 + ({h_expr(lab_unit_t)}) % 8 AS VARCHAR)"
+    unit_f = f"CAST(1 + ({h_expr(lab_unit_f)}) % 8 AS VARCHAR)"
+    qty_t = qty_expr("'c'||c||'r'||i")
+    qty_c = qty_expr("'s'||i")
+    qty_f = qty_expr("'l'||i")
+    qty_m = qty_expr("'c'||c||'s'||i")
+    # per-servico serialized strings rebuilt from the generator CTEs
+    # (trow3/catseg3/fline3/mseg3 carry W/wn/ws + the unit/qty draws).
+    # Field order Item\x1fCategoria\x1fDescricao\x1fUnidade\x1f
+    # Quantidade; Categoria = Descricao for every corpus record
+    # (categoria_por_prefixo falls through to the whole string — window
+    # text has no ' - '/':' separators); unit ids are positional
+    # (_UNIDADES_COL order = DEFAULT_UNIDADES ids 1..8).
     return f"""WITH {corpus_ctes()},
+serv AS (
+    -- tier-1 table rows (table/media/boiler/multi chunks)
+    SELECT doc_id_s, c, i,
+           prefix||{_v('i+1')}||{US}
+           ||({win})||{US}||({win})||{US}
+           ||{unit_t}||{US}||{qty_t} AS s
+    FROM trow3
+    UNION ALL
+    -- tier-2 CAT segments (seg 0 carries the header lines and is
+    -- boilerplate-filtered by the engine → excluded here)
+    SELECT doc_id_s, 0 AS c, i,
+           {_v('i+1')}||{US}
+           ||('- Execução de '||({win}))||{US}||('- Execução de '||({win}))||{US}
+           ||'1'||{US}||{qty_c} AS s
+    FROM catseg3 WHERE i >= 1
+    UNION ALL
+    -- tier-3 free lines
+    SELECT doc_id_s, 0 AS c, i,
+           {_v('i+1')}||'.1'||{US}
+           ||({win})||{US}||({win})||{US}
+           ||{unit_f}||{US}||{qty_f} AS s
+    FROM fline3
+    UNION ALL
+    -- multi-chunk CAT segments (all survive — prefix stripped per chunk)
+    SELECT doc_id_s, c, i,
+           {_v('i+1')}||{US}
+           ||('- Coordenação de '||({win}))||{US}||('- Coordenação de '||({win}))||{US}
+           ||'5'||{US}||{qty_m} AS s
+    FROM mseg3
+),
+servagg AS (
+    SELECT doc_id_s, md5(string_agg(s, chr(30) ORDER BY c, i)) AS smd5
+    FROM serv GROUP BY doc_id_s
+),
 fulln AS (
     SELECT doc_id,
            regexp_replace(upper(strip_accents(string_agg(text, '' ORDER BY "offset"))),
@@ -103,8 +156,11 @@ SELECT s.doc_id_s AS "doc_id",
        CAST(s.nivel_id AS BIGINT) AS "NiveldeAtividade",
        s.estado AS "Estado",
        CAST(s.nserv AS BIGINT) AS "n_servicos",
-       CAST(1 + s.nserv + (CASE WHEN s.branch = 'media' THEN 2 ELSE 0 END) AS BIGINT) AS "n_spans"
-FROM scal s LEFT JOIN fulln f ON f.doc_id = s.doc_id_s"""
+       CAST(1 + s.nserv + (CASE WHEN s.branch = 'media' THEN 2 ELSE 0 END) AS BIGINT) AS "n_spans",
+       coalesce(v.smd5, md5('')) AS "servico_md5"
+FROM scal s
+LEFT JOIN fulln f ON f.doc_id = s.doc_id_s
+LEFT JOIN servagg v ON v.doc_id_s = s.doc_id_s"""
 
 
 def span_properties_sql() -> str:

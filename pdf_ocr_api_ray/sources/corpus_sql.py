@@ -41,6 +41,25 @@ def h_u32(label: str) -> str:
     return _h(_lit(label))
 
 
+def h_expr(label_sql: str) -> str:
+    """Public helper: the u32 draw for a dynamic label SQL expression."""
+    return _h(label_sql)
+
+
+def win_expr() -> str:
+    """The shared word-window expression — valid in any CTE that
+    carries columns ``W``, ``wn``, ``ws`` (trow3/catseg3/fline3/mseg3)."""
+    return (
+        "CASE WHEN len(W) = 0 THEN 'servico generico' "
+        "ELSE array_to_string(W[ws+1:ws+wn], ' ') END"
+    )
+
+
+def qty_expr(label_sql: str) -> str:
+    """Public helper: the qty string expression for a dynamic label."""
+    return _qty(label_sql)
+
+
 def _v(expr: str) -> str:
     return f"CAST({expr} AS VARCHAR)"
 
