@@ -89,7 +89,10 @@ def _extract_documents(sf_dir: str):
             {
                 "doc_id": t["doc_id"],
                 "NumerodaCertidao": t["NumerodaCertidao"],
+                "ObjetodaCertidao": t["ObjetodaCertidao"],
                 "TipodaCertidao": pc.cast(t["TipodaCertidao"], pa.int64()),
+                "QualificacaoObra": pc.cast(t["QualificacaoObra"], pa.int64()),
+                "QualificacaoEspecifica": pc.cast(t["QualificacaoEspecifica"], pa.int64()),
                 "NiveldeAtividade": pc.cast(t["NiveldeAtividade"], pa.int64()),
                 "Estado": t["Estado"],
                 "n_servicos": pc.cast(pc.list_value_length(t["Servicos"]), pa.int64()),

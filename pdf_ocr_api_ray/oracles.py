@@ -147,18 +147,45 @@ scal AS (
            CASE WHEN branch = 'empty' THEN NULL
                 WHEN branch = 'cat' THEN 1
                 ELSE 1 + ({h_u32('nv')}) % 4 END AS nivel_id,
+           ({h_u32('ob')}) % 5 AS objeto_idx,
            {_NSERV} AS nserv
     FROM b2
+),
+scal2 AS (
+    -- the five objeto strings map 1:1 to header-rule outcomes:
+    -- hospital→obra 1, escola→2, residencial→3, industrial→4,
+    -- pavimentação→none; only objeto 4 contains a qualificação-
+    -- específica list value ("PAVIMENTACAO URBANA" → id 1)
+    SELECT *,
+           CASE WHEN branch = 'empty' THEN NULL ELSE
+               (['Construção de hospital municipal',
+                 'Reforma de escola estadual',
+                 'Edifício residencial multifamiliar',
+                 'Galpão industrial pré-moldado',
+                 'Pavimentação urbana do bairro centro'])[1 + objeto_idx] END AS objeto,
+           CASE WHEN branch = 'empty' THEN NULL
+                WHEN objeto_idx = 0 THEN 1
+                WHEN objeto_idx = 1 THEN 2
+                WHEN objeto_idx = 2 THEN 3
+                WHEN objeto_idx = 3 THEN 4
+                ELSE NULL END AS qual_obra,
+           CASE WHEN branch = 'empty' THEN NULL
+                WHEN objeto_idx = 4 THEN 1
+                ELSE NULL END AS qual_esp
+    FROM scal
 )
 SELECT s.doc_id_s AS "doc_id",
        s.numero AS "NumerodaCertidao",
+       s.objeto AS "ObjetodaCertidao",
        CAST({_flags_tipo_case('f.fn')} AS BIGINT) AS "TipodaCertidao",
+       CAST(s.qual_obra AS BIGINT) AS "QualificacaoObra",
+       CAST(s.qual_esp AS BIGINT) AS "QualificacaoEspecifica",
        CAST(s.nivel_id AS BIGINT) AS "NiveldeAtividade",
        s.estado AS "Estado",
        CAST(s.nserv AS BIGINT) AS "n_servicos",
        CAST(1 + s.nserv + (CASE WHEN s.branch = 'media' THEN 2 ELSE 0 END) AS BIGINT) AS "n_spans",
        coalesce(v.smd5, md5('')) AS "servico_md5"
-FROM scal s
+FROM scal2 s
 LEFT JOIN fulln f ON f.doc_id = s.doc_id_s
 LEFT JOIN servagg v ON v.doc_id_s = s.doc_id_s"""
 
