@@ -165,8 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
-        # multimodal plumbing (stubbed decode)
+        # multimodal plumbing (stubbed decode; resize/frame-sample chain)
         "media_features": media.media_features,
+        "media_frame_sample": media.media_frame_sample,
         # span surgery (Adobe sample-family analogues, SURVEY.md §2.3;
         # SQL-verified via corpus-regen oracles + test_spanops kernels)
         "span_split": spanops.split_chunks,
@@ -497,5 +498,19 @@ _RELATIONAL_ORACLES = {
                    360 + (doc_id % 720) AS height,
                    1 + (doc_id % 24) AS n_frames
             FROM documents
+        """,
+        "media_frame_sample": """
+            WITH m AS (
+                SELECT doc_id,
+                       640 + (n_chars % 1280) AS w,
+                       360 + (doc_id % 720) AS h,
+                       1 + (doc_id % 24) AS nf
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i * 6 AS BIGINT) AS frame_idx,
+                   CAST(256 AS BIGINT) AS out_w,
+                   CAST(floor(h * 256.0 / w + 0.5) AS BIGINT) AS out_h
+            FROM (SELECT *, unnest(range(CAST(ceil(nf / 6.0) AS BIGINT))) AS i FROM m)
         """,
     }

@@ -50,6 +50,46 @@ class MediaDecoder:
         return out
 
 
+def media_frame_sample(sf_dir: str, every_n: int = 6, target_w: int = 256):
+    """Composed multimodal chain: decode (actor pool, stubbed) →
+    aspect-preserving resize → frame sampling (one output row per
+    sampled frame, indices 0, n, 2n … < n_frames). The resize/sample
+    arithmetic is integer-deterministic so the SQL oracle reproduces
+    it; a real deployment swaps the decode stub only."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    decoded = ds.map_batches(
+        MediaDecoder,
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def resize_and_sample(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["width"].to_numpy(dtype=np.int64)
+        h = df["height"].to_numpy(dtype=np.int64)
+        nf = df["n_frames"].to_numpy(dtype=np.int64)
+        out_h = np.floor(h * (target_w / 1.0) / w + 0.5).astype(np.int64)
+        counts = -(-nf // every_n)  # ceil
+        doc_rep = np.repeat(df["doc_id"].to_numpy(), counts)
+        oh_rep = np.repeat(out_h, counts)
+        # frame indices 0, every_n, … per doc
+        idx_within = np.concatenate([np.arange(c, dtype=np.int64) for c in counts]) if len(counts) else np.zeros(0, np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_rep,
+                "frame_idx": idx_within * every_n,
+                "out_w": np.full(len(doc_rep), target_w, dtype=np.int64),
+                "out_h": oh_rep,
+            }
+        )
+
+    return decoded.map_batches(resize_and_sample, batch_format="pandas")
+
+
 def media_features(sf_dir: str):
     """Decode-and-extract features over the corpus (documents rows stand
     in for media rows: doc_id + payload-size metadata)."""
