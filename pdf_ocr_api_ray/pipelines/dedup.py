@@ -223,7 +223,29 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = JACCARD_THRESHOLD)
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    cand = bands.groupby("gb").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    # distributed candidate dedup BEFORE the driver collect: a
+    # mass-duplicated text puts identical signatures in the same bucket
+    # of EVERY band, so raw candidates repeat up to N_BANDS× — dedupe
+    # in pair-hash buckets so the driver receives each pair once
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = (
+            (df["id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B9) + df["id_b"].to_numpy(np.uint64))
+            % NUM_SUPER_BUCKETS
+        ).astype(np.int32)
+        return df
+
+    def distinct_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (
+        bands.groupby("gb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(distinct_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     if cand.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
             {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}

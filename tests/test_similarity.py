@@ -101,6 +101,37 @@ def test_simhash_copies_have_zero_distance(ray_session):
         assert pairs.get((v, v + 1_000_000)) == 0
 
 
+def test_minhash_mass_duplicate_no_blowup(ray_session, tmp_path):
+    """A 200-copy text floods every band with identical signatures; the
+    distributed candidate dedup must keep the driver payload at one row
+    per pair (not N_BANDS×) and the verify must confirm all pairs."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.dedup import dedup_minhash_lsh
+
+    n = 200
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": ["the very same long boilerplate paragraph repeated in every copy"] * n,
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    t0 = time.time()
+    df = dedup_minhash_lsh(str(tmp_path))
+    df = df.to_pandas() if hasattr(df, "to_pandas") else df
+    elapsed = time.time() - t0
+    # 200 + 40 exact + 29 mutated copies: every pair of the identical
+    # 240 must be confirmed at J=1; mutated join at J≥0.6
+    n_identical = 240
+    assert len(df) >= n_identical * (n_identical - 1) // 2
+    assert (df["jaccard"] >= 0.6).all()
+    assert elapsed < 120, f"mass-dup minhash took {elapsed:.1f}s"
+
+
 def test_simhash_mass_duplicate_block_no_blowup(ray_session, tmp_path):
     """A mass-duplicated text (1,000 copies → one scorching-hot segment
     bucket) must not go quadratic in the popcount scan: identical
