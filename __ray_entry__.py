@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
         "fingerprint": text.fingerprint,
+        "fingerprint_winnow": text.fingerprint_winnow,
         "token_freq": text.token_freq,
         "token_count_bpe": text.token_count_bpe,
         "ocr_postclean": text.ocr_postclean,

@@ -506,6 +506,32 @@ SELECT probe_id, rank, neighbor_id FROM (
 ) WHERE rank <= 10"""
 
 
+def fingerprint_winnow_sql(k: int = 3, w: int = 4) -> str:
+    """Winnowing fingerprints recomputed from the same md5 k-gram
+    hashes (every sf document has ≥ 10 tokens, so no short-doc branch
+    is reachable; the engine's fallback matches the minhash shingle
+    rule regardless)."""
+    kg_h = _md5_le64(f"array_to_string(toks[i+1:i+{k}], ' ')")
+    return rf"""WITH tokl AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+kg AS (
+    SELECT doc_id, i, {kg_h} AS h, len(toks) - {k - 1} AS n_kg
+    FROM (SELECT doc_id, toks, unnest(range(len(toks) - {k - 1})) AS i FROM tokl)
+),
+wins AS (
+    SELECT doc_id, i, n_kg,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
+    FROM kg
+),
+fps AS (SELECT DISTINCT doc_id, mh FROM wins WHERE i <= n_kg - {w})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(sum(mh % 1000000007) % {2**62} AS BIGINT) AS fp_checksum
+FROM fps GROUP BY doc_id"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -527,6 +553,7 @@ def corpus_oracles() -> dict[str, str]:
         "rotate_pages": rotate_pages_sql(),
         "insert_pages": _pair_merge_sql("insert"),
         "replace_pages": _pair_merge_sql("replace"),
+        "fingerprint_winnow": fingerprint_winnow_sql(),
         # countersign with the same (demo) credential
         "seal_documents": """
             SELECT doc_id, md5(text) AS content_fp,

@@ -139,6 +139,61 @@ def fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pandas")
 
 
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (k-grams per window)
+_WINNOW_P = 1_000_000_007
+
+
+def _le64(data: str) -> int:
+    """Little-endian 64-bit md5 prefix (same arithmetic the SQL oracle
+    rebuilds — dedup._stable64's twin for string k-grams)."""
+    return int.from_bytes(hashlib.md5(data.encode("utf-8")).digest()[:8], "little")
+
+
+def fingerprint_winnow(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Rolling-hash document fingerprinting (winnowing): hash every
+    k-token gram, slide a w-gram window and keep each window's minimum,
+    emit the distinct minima per document — the classic local
+    fingerprint sketch (robust to insertions: an edit only perturbs
+    nearby windows). Projection: per-doc fingerprint count + modular
+    checksum, both recomputed exactly by the SQL oracle from the same
+    md5 k-gram hashes."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def winnow(df: pd.DataFrame) -> pd.DataFrame:
+        n_fp, cks = [], []
+        for text in df["text"]:
+            toks = _TOKEN_RE.findall(text or "")
+            if len(toks) < k:
+                grams = [" ".join(toks)] if toks else []
+            else:
+                grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            if not grams:
+                n_fp.append(0)
+                cks.append(0)
+                continue
+            h = np.fromiter((_le64(g) for g in grams), dtype=np.uint64, count=len(grams))
+            if len(h) >= w:
+                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            else:
+                mins = h.min(keepdims=True)
+            fps = np.unique(mins)
+            n_fp.append(len(fps))
+            cks.append(int((fps % np.uint64(_WINNOW_P)).sum() % np.uint64(2**62)))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_fingerprints": pd.Series(n_fp, dtype="int64"),
+                "fp_checksum": pd.Series(cks, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(winnow, batch_format="pandas")
+
+
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
 
