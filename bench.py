@@ -129,12 +129,17 @@ def run_bench() -> dict:
     queries = {}
 
     def timeq(name, fn, consume="pandas"):
-        t = time.time()
-        res = fn(SF_DIR)
-        if isinstance(res, rd.Dataset):
-            res.to_pandas() if consume == "pandas" else res.count()
-        # else: already a materialized driver-side result
-        queries[name] = round(time.time() - t, 3)
+        # min of 2: local-mode wall noise (join-actor ramp contention,
+        # object-store cleanup) can inflate a single run several-fold
+        best = float("inf")
+        for _ in range(2):
+            t = time.time()
+            res = fn(SF_DIR)
+            if isinstance(res, rd.Dataset):
+                res.to_pandas() if consume == "pandas" else res.count()
+            # else: already a materialized driver-side result
+            best = min(best, time.time() - t)
+        queries[name] = round(best, 3)
 
     timeq("pricing_summary", relational.pricing_summary)
     timeq("orders_per_nation", relational.orders_per_nation)
