@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / streaming-shaped
         "events_daily": events.events_daily,
         "events_hopping": events.events_hopping,
+        "value_percentiles": events.value_percentiles,
         "running_total": events.running_total,
         "sessionize": events.sessionize,
         "asof_last_order": events.asof_last_order,
@@ -292,6 +293,17 @@ _RELATIONAL_ORACLES = {
                    count(*) AS n_events,
                    round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "value_percentiles": """
+            -- quantized micro-units + linear interpolation: identical
+            -- doubles to numpy's percentile(method='linear')
+            SELECT event_type,
+                   round(quantile_cont(value_u, 0.5) / 1000000.0, 4) AS p50,
+                   round(quantile_cont(value_u, 0.95) / 1000000.0, 4) AS p95
+            FROM (SELECT event_type,
+                         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_u
+                  FROM events)
+            GROUP BY event_type
         """,
         "events_hopping": """
             -- 1h windows hopping every 15min: each event belongs to

@@ -183,6 +183,46 @@ def json_props_stats(sf_dir: str):
     )
 
 
+def value_percentiles(sf_dir: str):
+    """Exact grouped percentiles (p50/p95 of value per event_type):
+    values are quantized to integer micro-units, co-located per group
+    by the groupby, and interpolated with the standard linear
+    (quantile_cont) formula — identical arithmetic to DuckDB, so the
+    doubles match before rounding. Exact percentiles inherently need
+    the group's values together (one shuffle); at 10^12 rows the scale
+    path swaps this stage for a mergeable sketch (t-digest/KLL) with
+    the same output schema."""
+    import ray.data as rd
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_u": np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    def pct(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group["value_u"].to_numpy())
+        p50 = np.percentile(v, 50, method="linear") / 1e6
+        p95 = np.percentile(v, 95, method="linear") / 1e6
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "p50": round_half_away(pd.Series([p50]), 4),
+                "p95": round_half_away(pd.Series([p95]), 4),
+            }
+        )
+
+    return (
+        ds.map_batches(quantize, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(pct, batch_format="pandas")
+    )
+
+
 def events_hopping(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
     """Hopping (sliding) window aggregate: 1-hour windows advancing
     every 15 minutes — each event contributes to window_s/hop_s = 4
