@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational coverage
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
+        "top_customers_per_segment": relational.top_customers_per_segment,
         "orders_per_nation": relational.orders_per_nation,
         "mktsegment_stats": relational.mktsegment_stats,
         "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
@@ -219,6 +220,16 @@ _RELATIONAL_ORACLES = {
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 10
+        """,
+        "top_customers_per_segment": """
+            SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, c_custkey,
+                   c_acctbal
+            FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal DESC, c_custkey) AS rank
+                FROM customer
+            ) WHERE rank <= 3
         """,
         "orders_per_nation": """
             SELECT n_name, count(*) AS n_orders,

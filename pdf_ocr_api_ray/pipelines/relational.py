@@ -124,6 +124,36 @@ def top_orders(sf_dir: str):
     )
 
 
+def top_customers_per_segment(sf_dir: str, k: int = 3):
+    """Grouped top-k (the window row_number ≤ k pattern) without a
+    global sort: every batch emits its local per-segment top-k
+    (vectorized pandas sort+head), the tiny partials meet in one
+    per-segment group for the final pick. Shuffle volume = k rows per
+    (segment, block). Ties broken by custkey ascending."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "customer"), columns=["c_mktsegment", "c_custkey", "c_acctbal"]
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["c_mktsegment", "c_acctbal", "c_custkey"], ascending=[True, False, True])
+        return g.groupby("c_mktsegment", sort=False).head(k)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).head(k)
+        out = g.reset_index(drop=True)
+        out["rank"] = out.index.to_numpy() + 1
+        return out[["c_mktsegment", "rank", "c_custkey", "c_acctbal"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def orders_per_nation(sf_dir: str):
     """Hash-partitioned big×big join (orders ⋈ customer) + broadcast dim
     lookup (nation → dict inside the batch fn) + grouped aggregate."""
