@@ -18,11 +18,21 @@ except ImportError:
 
 
 def read_table(path: str, columns: list[str] | None = None, **kwargs):
-    """Ray Dataset from a Lance dataset or Parquet file/dir."""
+    """Ray Dataset from a Lance dataset, Parquet file/dir, or JSONL.
+
+    JSONL (``.jsonl`` / ``.ndjson``) covers interchange dumps of the
+    spans table: nested ``spans`` lists of structs parse through
+    pyarrow's JSON reader; column pruning happens post-read (JSON has
+    no column projection)."""
     import ray.data as rd
 
     if HAVE_LANCE and path.endswith(".lance"):
         return rd.read_lance(path, columns=columns, **kwargs)
+    if path.endswith((".jsonl", ".ndjson", ".json")):
+        ds = rd.read_json(path, **kwargs)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
