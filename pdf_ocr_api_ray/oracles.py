@@ -31,10 +31,8 @@ these formulas against the live engine at sf0.001/sf0.01.
 
 from __future__ import annotations
 
-from .sources.corpus_sql import corpus_ctes, h_u32
-
-_CKSUM = "%s * 31 %% 1000003"
-
+from .sources.corpus_sql import _arr, corpus_ctes, h_u32
+from .sources.fixtures import _ESTADOS, _NIVEIS, _OBJETOS
 
 def _flags_tipo_case(fn: str) -> str:
     """detect_tipo_from_flags precedence over substring flags of the
@@ -77,8 +75,6 @@ _NSERV = f"""CASE branch
 def extract_documents_sql() -> str:
     from .sources.corpus_sql import _v, h_expr, qty_expr, win_expr
 
-    cksum = _CKSUM  # unused here; silences linters on shared const
-    del cksum
     US = "chr(31)"
     win = win_expr()
     lab_unit_t = "'c'||c||'r'||i||'u'"
@@ -143,26 +139,25 @@ scal AS (
                 ELSE CAST(10000 + ({h_u32('nu')}) % 989999 AS VARCHAR)
                      || '/' || CAST(2010 + ({h_u32('yr')}) % 16 AS VARCHAR) END AS numero,
            CASE WHEN branch = 'empty' THEN NULL
-                ELSE (['BA','SP','RJ','MG','CE','PR','RS'])[1 + ({h_u32('es')}) % 7] END AS estado,
+                ELSE {_arr(_ESTADOS)}[1 + ({h_u32('es')}) % {len(_ESTADOS)}] END AS estado,
            CASE WHEN branch = 'empty' THEN NULL
                 WHEN branch = 'cat' THEN 1
-                ELSE 1 + ({h_u32('nv')}) % 4 END AS nivel_id,
-           ({h_u32('ob')}) % 5 AS objeto_idx,
+                ELSE 1 + ({h_u32('nv')}) % {len(_NIVEIS)} END AS nivel_id,
+           ({h_u32('ob')}) % {len(_OBJETOS)} AS objeto_idx,
            {_NSERV} AS nserv
     FROM b2
 ),
 scal2 AS (
-    -- the five objeto strings map 1:1 to header-rule outcomes:
+    -- the objeto strings (generated from fixtures._OBJETOS — cannot
+    -- drift from the corpus) map 1:1 to header-rule outcomes:
     -- hospital→obra 1, escola→2, residencial→3, industrial→4,
     -- pavimentação→none; only objeto 4 contains a qualificação-
-    -- específica list value ("PAVIMENTACAO URBANA" → id 1)
+    -- específica list value ("PAVIMENTACAO URBANA" → id 1). The CASE
+    -- below is the oracle's independent statement of those rules
+    -- (pinned by tests/test_functions header-rule cases).
     SELECT *,
            CASE WHEN branch = 'empty' THEN NULL ELSE
-               (['Construção de hospital municipal',
-                 'Reforma de escola estadual',
-                 'Edifício residencial multifamiliar',
-                 'Galpão industrial pré-moldado',
-                 'Pavimentação urbana do bairro centro'])[1 + objeto_idx] END AS objeto,
+               {_arr(_OBJETOS)}[1 + objeto_idx] END AS objeto,
            CASE WHEN branch = 'empty' THEN NULL
                 WHEN objeto_idx = 0 THEN 1
                 WHEN objeto_idx = 1 THEN 2
@@ -427,7 +422,13 @@ def dedup_minhash_lsh_sql(threshold: float = 0.6) -> str:
     (banding at 32×2 has P(miss | J ≥ τ) ≈ 2e-7 and the corpus has a
     wide planted-vs-natural margin, so verified-LSH = exact)."""
     return rf"""WITH {_AUG_CORPUS},
-tokl AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM corpus),
+tokl AS (
+    -- zero-token docs have NO shingles (the engine's shingle set is
+    -- empty and verification skips them) — exclude, or the forced
+    -- single '' shingle would fabricate J=1 pairs the engine never emits
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM corpus
+    WHERE len(regexp_extract_all(text, '\S+')) > 0
+),
 sh AS (
     SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS s
     FROM (SELECT doc_id, toks, unnest(range(greatest(1, len(toks) - 2))) AS i FROM tokl)

@@ -32,6 +32,37 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
 
 
+def distinct_pairs(ds, keep_min: str | None = None, num_buckets: int = 256):
+    """Hash-bucketed vectorized distinct over (id_a, id_b) pair rows —
+    the engine's standard alternative to a per-pair-key aggregate
+    (which pays per-key Python over |pairs| keys; measured minutes vs
+    seconds under mass duplication). ``keep_min`` keeps the row with
+    the smallest value of that column per pair (e.g. min hamming)."""
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = (
+            (
+                df["id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B9)
+                + df["id_b"].to_numpy(np.uint64)
+            )
+            % num_buckets
+        ).astype(np.int32)
+        return df
+
+    cols = ["id_a", "id_b"] + ([keep_min] if keep_min else [])
+
+    def distinct_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(cols)
+        return g.drop_duplicates(["id_a", "id_b"])[cols]
+
+    return (
+        ds.map_batches(add_pb, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(distinct_bucket, batch_format="pandas")
+    )
+
+
 def round_half_away(s: pd.Series, ndigits: int) -> pd.Series:
     f = 10.0**ndigits
     arr = s.to_numpy(dtype=np.float64)

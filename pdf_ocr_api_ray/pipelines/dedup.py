@@ -43,7 +43,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ._util import read_parquet_clean, round_half_away
+from ._util import distinct_pairs, read_parquet_clean, round_half_away
 
 _TOKEN_RE = re.compile(r"\S+")
 
@@ -88,11 +88,12 @@ _TOK_CACHE: dict[str, int] = {}
 def _tok_hashes(tokens: list[str]) -> np.ndarray:
     """md5 hash per token occurrence, md5 computed once per distinct
     token per worker (the corpus vocabulary is tiny next to the text)."""
+    if len(_TOK_CACHE) > 1_000_000:  # bound worker memory on huge vocabs
+        # clear BEFORE filling so this call's tokens survive to the read
+        _TOK_CACHE.clear()
     for t in tokens:
         if t not in _TOK_CACHE:
             _TOK_CACHE[t] = _stable64(t)
-    if len(_TOK_CACHE) > 1_000_000:  # bound worker memory on huge vocabs
-        _TOK_CACHE.clear()
     return np.fromiter((_TOK_CACHE[t] for t in tokens), dtype=np.uint64, count=len(tokens))
 
 
@@ -227,28 +228,18 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = JACCARD_THRESHOLD)
     # mass-duplicated text puts identical signatures in the same bucket
     # of EVERY band, so raw candidates repeat up to N_BANDS× — dedupe
     # in pair-hash buckets so the driver receives each pair once
-    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pb"] = (
-            (df["id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B9) + df["id_b"].to_numpy(np.uint64))
-            % NUM_SUPER_BUCKETS
-        ).astype(np.int32)
-        return df
-
-    def distinct_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
-
-    cand = (
-        bands.groupby("gb")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(add_pb, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(distinct_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    cand = distinct_pairs(
+        bands.groupby("gb").map_groups(bucket_pairs, batch_format="pandas")
+    ).to_pandas()
     if cand.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        # uniform Dataset return type (Ray's to_pandas drops schema on
+        # ANY empty dataset — a known engine-wide limitation, not ours)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+            ).empty_table()
         )
     pairs = np.unique(cand[["id_a", "id_b"]].to_numpy(np.int64), axis=0)
 
@@ -262,30 +253,34 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = JACCARD_THRESHOLD)
     sets_schema = pa.schema(
         [
             ("vb", pa.int32()),
-            ("pair_idx", pa.int64()),
-            ("side", pa.int8()),
+            # one row per (doc, verify-bucket): the doc's shingle set is
+            # shipped ONCE per bucket it participates in, with its pair
+            # memberships encoded alongside (pidx*2 + side) — O(k·B)
+            # exchange volume for a k-duplicate cluster, not O(k²)
+            ("roles", pa.list_(pa.int64())),
             ("hashes", pa.list_(pa.uint64())),
         ]
     )
 
     def emit_sets(t: pa.Table) -> pa.Table:
         _, role_map = ray.get(idx_ref)
-        vb, pidx_c, side_c, hashes_c = [], [], [], []
+        vb, roles_c, hashes_c = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             rs = role_map.get(int(doc_id))
             if not rs:
                 continue
             hs = _shingle_hashes(_TOKEN_RE.findall(text or ""))
+            by_vb: dict[int, list[int]] = {}
             for pidx, side in rs:
-                vb.append(pidx % _VERIFY_BUCKETS)
-                pidx_c.append(pidx)
-                side_c.append(side)
+                by_vb.setdefault(pidx % _VERIFY_BUCKETS, []).append(pidx * 2 + side)
+            for b, enc in by_vb.items():
+                vb.append(b)
+                roles_c.append(enc)
                 hashes_c.append(hs)
         return pa.table(
             {
                 "vb": pa.array(vb, pa.int32()),
-                "pair_idx": pa.array(pidx_c, pa.int64()),
-                "side": pa.array(side_c, pa.int8()),
+                "roles": pa.array(roles_c, pa.list_(pa.int64())),
                 "hashes": pa.array(hashes_c, pa.list_(pa.uint64())),
             },
             schema=sets_schema,
@@ -295,14 +290,14 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = JACCARD_THRESHOLD)
 
     def verify_bucket(g: pa.Table) -> pa.Table:
         all_pairs, _ = ray.get(idx_ref)
-        pidx = g["pair_idx"].to_numpy(zero_copy_only=False)
-        sides = g["side"].to_numpy(zero_copy_only=False)
+        roles_l = g["roles"].to_pylist()
         hl = g["hashes"].to_pylist()
         by_pair: dict[int, list] = {}
-        for k in range(len(pidx)):
-            by_pair.setdefault(int(pidx[k]), [None, None])[int(sides[k])] = np.asarray(
-                hl[k], dtype=np.uint64
-            )
+        for k in range(len(roles_l)):
+            hs = np.asarray(hl[k], dtype=np.uint64)
+            for enc in roles_l[k]:
+                pidx, side = divmod(int(enc), 2)
+                by_pair.setdefault(pidx, [None, None])[side] = hs
         ka, kb, jac = [], [], []
         for p, (sa, sb) in by_pair.items():
             if sa is None or sb is None or sa.size == 0 or sb.size == 0:
@@ -432,29 +427,9 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
         )
 
     pairs = sigs.groupby("gb").map_groups(block_pairs, batch_format="pandas")
-
-    # a pair can surface from up to 4 segments → distinct. NOT a
-    # per-pair-key aggregate (that pays per-key Python over |pairs|
-    # keys — quadratically many under mass duplication); pairs are
-    # hash-bucketed and deduped with one vectorized drop_duplicates
-    # per bucket.
-    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pb"] = (
-            (df["id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B9) + df["id_b"].to_numpy(np.uint64))
-            % NUM_SUPER_BUCKETS
-        ).astype(np.int32)
-        return df
-
-    def distinct_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["id_a", "id_b", "hamming"]).drop_duplicates(["id_a", "id_b"])
-        return g[["id_a", "id_b", "hamming"]]
-
-    return (
-        pairs.map_batches(add_pb, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(distinct_bucket, batch_format="pandas")
-    )
+    # a pair can surface from up to 4 segments → bucketed vectorized
+    # distinct (hamming identical wherever the pair surfaces)
+    return distinct_pairs(pairs, keep_min="hamming")
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ._util import read_parquet_clean
+from ._util import distinct_pairs, read_parquet_clean
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -337,25 +337,8 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.9, n_tables: int = 1):
     )
     if n_tables == 1:
         return pairs  # a pair appears in exactly one bucket
-
-    # cross-table duplicates → bucketed vectorized distinct (same idiom
-    # as dedup.py: never a per-pair-key aggregate)
-    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pb"] = (
-            (df["id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B9) + df["id_b"].to_numpy(np.uint64))
-            % 256
-        ).astype(np.int32)
-        return df
-
-    def distinct_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
-
-    return (
-        pairs.map_batches(add_pb, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(distinct_bucket, batch_format="pandas")
-    )
+    # cross-table duplicates → shared bucketed vectorized distinct
+    return distinct_pairs(pairs)
 
 
 def embedding_near_dup_bruteforce(sf_dir: str, threshold: float = 0.9):

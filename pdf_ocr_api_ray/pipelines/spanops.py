@@ -194,54 +194,53 @@ def split_batch(t: pa.Table) -> pa.Table:
     import numpy as np
     import pyarrow.compute as pc
 
-    if True:  # keep the original closure body's indentation
-        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
-        rank_span, gid, group_par, rank_group, _ = _chunk_ranks(par_s, chunk_s)
-        n = len(par_s)
-        # one list per (doc, chunk) group; groups are contiguous runs
-        if n:
-            starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
-        else:
-            starts = np.zeros(0, dtype=np.int64)
-        list_offs = np.append(starts, n)
-        struct = pa.StructArray.from_arrays(
-            [
-                flat_s.field("kind"),
-                flat_s.field("text"),
-                flat_s.field("media_ref"),
-                pa.array(row_s.astype("int32"), pa.int32()),
-            ],
-            names=["kind", "text", "media_ref", "offset"],
-        )
-        spans = pa.ListArray.from_arrays(
-            pa.array(list_offs, pa.int64()).cast(pa.int32()), struct
-        )
-        base_ids = pc.take(t["doc_id"], pa.array(group_par))
-        suffix = pa.array([f"#c{r}" for r in rank_group], pa.string())
-        doc_ids = pc.binary_join_element_wise(base_ids, suffix, "")
-        out = pa.table({"doc_id": doc_ids, "spans": spans}, schema=INPUT_SCHEMA)
+    flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+    rank_span, gid, group_par, rank_group, _ = _chunk_ranks(par_s, chunk_s)
+    n = len(par_s)
+    # one list per (doc, chunk) group; groups are contiguous runs
+    if n:
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+    else:
+        starts = np.zeros(0, dtype=np.int64)
+    list_offs = np.append(starts, n)
+    struct = pa.StructArray.from_arrays(
+        [
+            flat_s.field("kind"),
+            flat_s.field("text"),
+            flat_s.field("media_ref"),
+            pa.array(row_s.astype("int32"), pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(
+        pa.array(list_offs, pa.int64()).cast(pa.int32()), struct
+    )
+    base_ids = pc.take(t["doc_id"], pa.array(group_par))
+    suffix = pa.array([f"#c{r}" for r in rank_group], pa.string())
+    doc_ids = pc.binary_join_element_wise(base_ids, suffix, "")
+    out = pa.table({"doc_id": doc_ids, "spans": spans}, schema=INPUT_SCHEMA)
 
-        # docs with zero spans → one empty '#c0' row each (F15 contract)
-        present = np.zeros(t.num_rows, dtype=bool)
-        present[group_par] = True
-        missing = np.flatnonzero(~present)
-        if len(missing):
-            empty = pa.table(
-                {
-                    "doc_id": pc.binary_join_element_wise(
-                        pc.take(t["doc_id"], pa.array(missing)),
-                        pa.array(["#c0"] * len(missing)),
-                        "",
-                    ),
-                    "spans": pa.ListArray.from_arrays(
-                        pa.array(np.zeros(len(missing) + 1, dtype=np.int32)),
-                        struct.slice(0, 0),
-                    ),
-                },
-                schema=INPUT_SCHEMA,
-            )
-            out = pa.concat_tables([out, empty])
-        return out
+    # docs with zero spans → one empty '#c0' row each (F15 contract)
+    present = np.zeros(t.num_rows, dtype=bool)
+    present[group_par] = True
+    missing = np.flatnonzero(~present)
+    if len(missing):
+        empty = pa.table(
+            {
+                "doc_id": pc.binary_join_element_wise(
+                    pc.take(t["doc_id"], pa.array(missing)),
+                    pa.array(["#c0"] * len(missing)),
+                    "",
+                ),
+                "spans": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(len(missing) + 1, dtype=np.int32)),
+                    struct.slice(0, 0),
+                ),
+            },
+            schema=INPUT_SCHEMA,
+        )
+        out = pa.concat_tables([out, empty])
+    return out
 
 
 def split_chunks(sf_dir: str):
@@ -369,11 +368,12 @@ def _pair_merge(sf_dir: str, mode: str, num_buckets: int = 256):
         np1_of = nchunks_doc[idx1]
         pair_span = pair[par_s]
         role_span = role[par_s]
-        pos = np.searchsorted(pair1, pair_span)
-        pos_c = np.clip(pos, 0, max(0, len(pair1) - 1))
-        np1_span = np.where(
-            (len(pair1) > 0) & (pair1[pos_c] == pair_span), np1_of[pos_c], 0
-        )
+        if len(pair1):
+            pos = np.searchsorted(pair1, pair_span)
+            pos_c = np.clip(pos, 0, len(pair1) - 1)
+            np1_span = np.where(pair1[pos_c] == pair_span, np1_of[pos_c], 0)
+        else:  # no role-1 docs in this bucket (odd tail pair)
+            np1_span = np.zeros(len(pair_span), dtype=np.int64)
 
         r = rank_span
         if mode == "insert":
@@ -472,34 +472,33 @@ def watermark_batch(t: pa.Table, wm_ref: str) -> pa.Table:
     new offset = chunk·STRIDE + row + 1 for everyone."""
     import numpy as np
 
-    if True:
-        flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
-        rank_span, gid, group_par, rank_group, _ = _chunk_ranks(par_s, chunk_s)
-        n_groups = len(group_par)
-        if n_groups:
-            # chunk index per group = chunk_s at each group start
-            starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
-            chunk_group = chunk_s[starts]
-            wm_struct = pa.StructArray.from_arrays(
-                [
-                    pa.array(["page_image"] * n_groups, pa.string()),
-                    pa.array([""] * n_groups, pa.string()),
-                    pa.array([wm_ref] * n_groups, pa.string()),
-                    pa.array(np.zeros(n_groups, dtype="int32"), pa.int32()),
-                ],
-                names=["kind", "text", "media_ref", "offset"],
-            )
-            flat_all = pa.concat_arrays([flat_s, wm_struct])
-            par_all = np.concatenate([par_s, group_par])
-            chunk_all = np.concatenate([chunk_s, chunk_group])
-            row_all = np.concatenate([row_s, np.full(n_groups, -1, dtype=np.int64)])
-            order = np.lexsort((row_all, chunk_all, par_all))
-            flat_all = flat_all.take(pa.array(order))
-            par_all = par_all[order]
-            new_off = chunk_all[order] * CHUNK_STRIDE + row_all[order] + 1
-        else:
-            flat_all, par_all, new_off = flat_s, par_s, row_s
-        return _rebuild(t["doc_id"], t.num_rows, par_all, flat_all, new_off)
+    flat_s, par_s, chunk_s, row_s = _flat_sorted(t)
+    rank_span, gid, group_par, rank_group, _ = _chunk_ranks(par_s, chunk_s)
+    n_groups = len(group_par)
+    if n_groups:
+        # chunk index per group = chunk_s at each group start
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        chunk_group = chunk_s[starts]
+        wm_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(["page_image"] * n_groups, pa.string()),
+                pa.array([""] * n_groups, pa.string()),
+                pa.array([wm_ref] * n_groups, pa.string()),
+                pa.array(np.zeros(n_groups, dtype="int32"), pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        flat_all = pa.concat_arrays([flat_s, wm_struct])
+        par_all = np.concatenate([par_s, group_par])
+        chunk_all = np.concatenate([chunk_s, chunk_group])
+        row_all = np.concatenate([row_s, np.full(n_groups, -1, dtype=np.int64)])
+        order = np.lexsort((row_all, chunk_all, par_all))
+        flat_all = flat_all.take(pa.array(order))
+        par_all = par_all[order]
+        new_off = chunk_all[order] * CHUNK_STRIDE + row_all[order] + 1
+    else:
+        flat_all, par_all, new_off = flat_s, par_s, row_s
+    return _rebuild(t["doc_id"], t.num_rows, par_all, flat_all, new_off)
 
 
 def watermark(sf_dir: str):

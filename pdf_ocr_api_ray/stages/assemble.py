@@ -158,10 +158,11 @@ def make_batch_combine(num_buckets: int = NUM_BUCKETS):
                 # dense chunk_idx in order and Ray blocks are contiguous
                 # stream slices, so this holds unless an order-perturbing
                 # op (repartition/random_shuffle) is inserted between
-                # parse and combine. Merging non-adjacent chunks would
-                # create false norm_comp adjacencies (spurious tipo
-                # needles) and could mis-pick numero/estado, so fail
-                # loudly instead.
+                # parse and combine. Merging a gapped range would create
+                # false norm_comp adjacencies (spurious tipo needles)
+                # and could mis-pick numero/estado, so fail loudly.
+                # rows are already SORTED by chunk_idx (sort above), so
+                # last-first+1 == count ⟺ consecutive and duplicate-free.
                 chunk_ids = [r["chunk_idx"] for r in rows]
                 if chunk_ids[-1] - chunk_ids[0] + 1 != len(chunk_ids):
                     raise AssertionError(

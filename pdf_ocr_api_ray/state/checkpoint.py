@@ -77,6 +77,12 @@ def _validate_resume(
                 f"use a fresh out_dir"
             )
         rec_shards = rec.get("shards")
+        if rec_shards is not None and shards is None:
+            raise ValueError(
+                f"resume mismatch: partition {rec['partition']} was completed in "
+                "sharded mode but this run would fall back to doc-id hashing "
+                "(input shards removed below num_partitions?); use a fresh out_dir"
+            )
         if rec_shards is not None and shards is not None:
             p = rec["partition"]
             cur = shards[p :: num_partitions]

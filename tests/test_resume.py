@@ -158,3 +158,29 @@ def test_resume_shard_listing_mismatch_fails_fast(ray_session, depara, tmp_path)
     pq.write_table(tbl.slice(0, 2), str(in_dir / "shard-999.parquet"))
     with pytest.raises(ValueError, match="shards"):
         run_checkpointed(str(in_dir), out_dir, num_partitions=2, depara=depara)
+
+
+def test_resume_shard_mode_fallback_fails_fast(ray_session, depara, tmp_path):
+    """Shards deleted below num_partitions → the run would silently fall
+    back to doc-id hashing; resume must refuse instead."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.sources.fixtures import docs_to_table, generate_fixture_docs
+
+    docs = generate_fixture_docs(families=["f1_table_basic"], docs_per_family=8)
+    in_dir = tmp_path / "sharded"
+    in_dir.mkdir()
+    tbl = docs_to_table(docs)
+    for i in range(0, tbl.num_rows, 2):
+        pq.write_table(tbl.slice(i, 2), str(in_dir / f"shard-{i:03d}.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    run_checkpointed(str(in_dir), out_dir, num_partitions=2, depara=depara, max_partitions=1)
+
+    # delete shards until fewer than num_partitions remain
+    for f in sorted(os.listdir(in_dir))[1:]:
+        os.remove(in_dir / f)
+    with pytest.raises(ValueError, match="sharded mode"):
+        run_checkpointed(str(in_dir), out_dir, num_partitions=2, depara=depara)

@@ -180,3 +180,28 @@ def test_pair_merge_queries(ray_session):
     per_pair = props.groupby("pair")["n_spans"].sum()
     ins_ids = ins["doc_id"].str.slice(4).astype(int) // 2
     assert (ins.set_index(ins_ids)["n_spans"].sort_index() == per_pair.sort_index()).all()
+
+
+def test_pair_merge_odd_corpus_lone_base(ray_session, tmp_path):
+    """Odd document count: the last pair has no role-1 partner — the
+    merge must neither crash nor shift the lone base's chunks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.sources.corpus import document_to_spans
+
+    rows = [{"doc_id": i, "text": "the fast key order sort table scan merge part window"} for i in range(5)]
+    t = pa.table(
+        {"doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+         "text": pa.array([r["text"] for r in rows], pa.string())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ins = spanops.insert_pages(str(tmp_path)).to_pandas().set_index("doc_id")
+    rep = spanops.replace_pages(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert len(ins) == 3 and len(rep) == 3  # pairs 0,1,2 (pair 2 lone)
+    # lone base (doc 4): insert with an absent partner is the identity
+    spans4 = document_to_spans(4, rows[4]["text"])
+    n4 = len(spans4)
+    cs4 = sum(int(s["offset"]) * 31 % 1_000_003 for s in spans4)
+    assert ins.loc["doc-00000004", "n_spans"] == n4
+    assert ins.loc["doc-00000004", "offset_checksum"] == cs4
