@@ -25,13 +25,30 @@ tiers 1-3 + parser/parseDocument.js:104-215 filters):
   at chunk level → all survive) + chunk-2 table → sum.
 - empty docs: no records; output row is header-only (n_spans = 1).
 
+CORPUS-VOCABULARY ASSUMPTIONS (guarded by
+tests/test_corpus_sql.py::test_vocab_is_filter_safe — a regenerated
+documents.parquet that violates them fails loudly there instead of
+silently breaking parity):
+
+- window text never *starts with* "total" (tier-1 rows whose
+  normalized Descricao matches ``^TOTAL\\b`` are skipped by the
+  engine's parser — the oracle counts every generated row);
+- window text contains no standalone unit sigla (``m``/``m2``/``m3``/
+  ``un``/``kg``/``h``/``mes``/``%`` as whole tokens) — tiers 2/3 run
+  detect_unidade over the whole line, so such a token would shift
+  Unidade/Descricao versus the oracle's positional unit id and
+  verbatim-window serialization;
+- window text has no " - " or ":" separators (Categoria = Descricao);
+- document text is ASCII (Python's Unicode-aware tokenizers vs
+  DuckDB's ASCII ``\\S+`` diverge on exotic whitespace).
+
 ``tests/test_queries_vs_duckdb.py`` and the CORRECTNESS driver verify
 these formulas against the live engine at sf0.001/sf0.01.
 """
 
 from __future__ import annotations
 
-from .sources.corpus_sql import _arr, corpus_ctes, h_u32
+from .sources.corpus_sql import _arr, corpus_ctes, h_u32, zpad
 from .sources.fixtures import _ESTADOS, _NIVEIS, _OBJETOS
 
 def _flags_tipo_case(fn: str) -> str:
@@ -305,7 +322,7 @@ shifted AS (
 agg AS (
     SELECT gk, count(*) AS n, sum(off * 31 % 1000003) AS cs FROM shifted GROUP BY gk
 )
-SELECT 'group-' || lpad(CAST(g.gk AS VARCHAR), 6, '0') AS doc_id,
+SELECT 'group-' || {zpad("CAST(g.gk AS VARCHAR)", 6)} AS doc_id,
        CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans,
        CAST(coalesce(a.cs, 0) AS BIGINT) AS offset_checksum
 FROM (SELECT DISTINCT did // {group_size} AS gk FROM b2) g
@@ -384,7 +401,7 @@ agg AS (
     SELECT pair, count(*) AS n, sum((nc * 10000 + r_off) * 31 % 1000003) AS cs
     FROM mapped GROUP BY pair
 )
-SELECT 'doc-' || lpad(CAST(p.pair * 2 AS VARCHAR), 8, '0') AS doc_id,
+SELECT 'doc-' || {zpad("CAST(p.pair * 2 AS VARCHAR)", 8)} AS doc_id,
        CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans,
        CAST(coalesce(a.cs, 0) AS BIGINT) AS offset_checksum
 FROM (SELECT DISTINCT did // 2 AS pair FROM b2) p
@@ -469,10 +486,18 @@ tok AS (
 ),
 tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
 th AS (SELECT doc_id, c, {_md5_le64('w')} AS h FROM tc),
-fp AS (
+fp0 AS (
     SELECT doc_id,
         {bit_terms} AS f
     FROM th GROUP BY doc_id
+),
+fp AS (
+    -- zero-token docs fingerprint to 0 in the engine (simhash64([])=0)
+    -- and pair with each other at hamming 0 — include them
+    SELECT doc_id, f FROM fp0
+    UNION ALL
+    SELECT doc_id, CAST(0 AS UBIGINT) FROM corpus
+    WHERE len(regexp_extract_all(lower(text), '\S+')) = 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
@@ -509,16 +534,19 @@ SELECT probe_id, rank, neighbor_id FROM (
 
 def fingerprint_winnow_sql(k: int = 3, w: int = 4) -> str:
     """Winnowing fingerprints recomputed from the same md5 k-gram
-    hashes (every sf document has ≥ 10 tokens, so no short-doc branch
-    is reachable; the engine's fallback matches the minhash shingle
-    rule regardless)."""
+    hashes, including the engine's short-doc fallbacks: < k tokens →
+    one k-gram of all tokens (the greatest(1,…) range), < w k-grams →
+    one fingerprint = min over all k-gram hashes, zero tokens → a row
+    with n_fingerprints = 0 / checksum 0."""
     kg_h = _md5_le64(f"array_to_string(toks[i+1:i+{k}], ' ')")
     return rf"""WITH tokl AS (
     SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
 ),
 kg AS (
-    SELECT doc_id, i, {kg_h} AS h, len(toks) - {k - 1} AS n_kg
-    FROM (SELECT doc_id, toks, unnest(range(len(toks) - {k - 1})) AS i FROM tokl)
+    SELECT doc_id, i, {kg_h} AS h, greatest(1, len(toks) - {k - 1}) AS n_kg
+    FROM (SELECT doc_id, toks,
+                 unnest(range(greatest(1, len(toks) - {k - 1}))) AS i
+          FROM tokl WHERE len(toks) > 0)
 ),
 wins AS (
     SELECT doc_id, i, n_kg,
@@ -526,11 +554,22 @@ wins AS (
                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
     FROM kg
 ),
-fps AS (SELECT DISTINCT doc_id, mh FROM wins WHERE i <= n_kg - {w})
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_fingerprints,
-       CAST(sum(mh % 1000000007) % {2**62} AS BIGINT) AS fp_checksum
-FROM fps GROUP BY doc_id"""
+fps AS (
+    SELECT DISTINCT doc_id, mh FROM wins WHERE i <= n_kg - {w}
+    UNION
+    -- short-doc fallback (< w k-grams): one fingerprint = global min
+    SELECT doc_id, min(h) AS mh FROM kg WHERE n_kg < {w} GROUP BY doc_id
+),
+agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(mh % 1000000007) % {2**62} AS BIGINT) AS fp_checksum
+    FROM fps GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+       coalesce(a.fp_checksum, 0) AS fp_checksum
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 
 
 def corpus_oracles() -> dict[str, str]:

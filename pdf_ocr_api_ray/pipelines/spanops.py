@@ -140,15 +140,17 @@ def _flat_sorted(t: "pa.Table"):
 def _chunk_ranks(par_s, chunk_s):
     """Per-span dense chunk rank within its doc + group metadata.
 
-    Returns (rank_span, gid_span, group_par, rank_group, n_groups_par)
-    where n_groups_par[p] = chunk count of parent p (0 for parents with
-    no spans — callers use np.bincount minlength)."""
+    Returns (rank_span, gid_span, group_par, rank_group, npg_group):
+    the first two are per-SPAN, the last three per-GROUP (one entry per
+    (doc, chunk) run, aligned with ``group_par``); ``npg_group[g]`` is
+    the chunk count of group g's parent doc — NOT indexed by parent id
+    (map per-span via ``npg_group[gid_span]``)."""
     import numpy as np
 
     n = len(par_s)
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
-        return z, z, z, z, {}
+        return z, z, z, z, z
     change = np.empty(n, dtype=bool)
     change[0] = True
     change[1:] = (par_s[1:] != par_s[:-1]) | (chunk_s[1:] != chunk_s[:-1])

@@ -48,11 +48,9 @@ def h_expr(label_sql: str) -> str:
 
 def win_expr() -> str:
     """The shared word-window expression — valid in any CTE that
-    carries columns ``W``, ``wn``, ``ws`` (trow3/catseg3/fline3/mseg3)."""
-    return (
-        "CASE WHEN len(W) = 0 THEN 'servico generico' "
-        "ELSE array_to_string(W[ws+1:ws+wn], ' ') END"
-    )
+    carries columns ``W``, ``wn``, ``ws`` (trow3/catseg3/fline3/mseg3).
+    Same object as the generator's own expression — cannot drift."""
+    return _WIN_EXPR
 
 
 def qty_expr(label_sql: str) -> str:
@@ -67,17 +65,31 @@ def _v(expr: str) -> str:
 _TAB = "chr(9)"
 
 
+# the shared window expression — ONE definition (win_expr() returns the
+# same string; an edit here propagates to every consumer)
+_WIN_EXPR = (
+    "CASE WHEN len(W) = 0 THEN 'servico generico' "
+    "ELSE array_to_string(W[ws+1:ws+wn], ' ') END"
+)
+
+
 def _win(label_sql: str) -> tuple[str, str, str]:
     """(wn_expr, ws_expr_using_wn, win_expr_using_wn_ws) for a window label."""
     lab_n = label_sql + "||'n'"
     lab_s = label_sql + "||'s'"
     wn = f"3 + ({_h(lab_n)}) % 4"
     ws = f"({_h(lab_s)}) % greatest(1, len(W) - wn)"
-    win = (
-        "CASE WHEN len(W) = 0 THEN 'servico generico' "
-        "ELSE array_to_string(W[ws+1:ws+wn], ' ') END"
+    return wn, ws, _WIN_EXPR
+
+
+def zpad(expr: str, width: int) -> str:
+    """Non-truncating zero-pad (DuckDB's lpad TRUNCATES strings longer
+    than the target — Python's %0Nd never does; ids past 10^width would
+    silently collide otherwise)."""
+    return (
+        f"CASE WHEN length({expr}) >= {width} THEN {expr} "
+        f"ELSE lpad({expr}, {width}, '0') END"
     )
-    return wn, ws, win
 
 
 def _qty(label_sql: str) -> str:
@@ -110,7 +122,7 @@ def corpus_ctes(documents_rel: str = "documents") -> str:
 base AS (
     SELECT doc_id AS did,
            CAST(doc_id AS VARCHAR) AS did_s,
-           'doc-'||lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id_s,
+           'doc-'||{zpad("CAST(doc_id AS VARCHAR)", 8)} AS doc_id_s,
            'mem://doc-'||CAST(doc_id AS VARCHAR) AS media_base,
            regexp_extract_all(coalesce(text, ''), '\\S+') AS W,
            {_h("'roll'")} AS roll

@@ -44,3 +44,30 @@ def test_all_branches_present():
 
     branches = {branch_of(d) for d in range(500)}
     assert branches == {"empty", "cat", "free", "boiler", "media", "multi", "table"}
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_vocab_is_filter_safe(sf_dir):
+    """The extract_documents oracle's per-branch count/content formulas
+    assume the documents vocabulary never collides with parser filters
+    (see oracles.py module docstring). A regenerated testdata set that
+    violates these fails HERE, loudly, instead of silently breaking
+    oracle parity."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM read_parquet('{sf_dir}/documents.parquet')"""
+    ).fetchall()
+    vocab = {r[0] for r in rows}
+    unit_siglas = {"m", "m2", "m3", "un", "kg", "h", "mes", "%"}
+    assert not {w.lower() for w in vocab} & unit_siglas, "unit sigla in vocabulary"
+    assert not any(w.lower().startswith("total") for w in vocab), "TOTAL-prefixed token"
+    assert not any((" - " in w) or (":" in w) or ("-" == w) for w in vocab)
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    assert all(t[0].isascii() for t in texts), "non-ASCII text breaks \\S+ parity"
