@@ -9,7 +9,8 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the training-data operator set).
 - ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents for EVERY
-  query (47/47) — corpus-derived queries embed the md5-draw corpus
+  query (tests/test_queries_vs_duckdb.py::test_every_query_has_an_oracle
+  enforces full coverage) — corpus-derived queries embed the md5-draw corpus
   regeneration CTEs (pdf_ocr_api_ray/oracles.py), so even the flagship
   extraction and the sketch-based dedup/ANN paths are value-checked
   from first principles.

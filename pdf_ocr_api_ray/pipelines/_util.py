@@ -23,10 +23,21 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     deduplication ("Failed to hash the schemas…" log spam) and can
     mask a real schema drift. Passing the metadata-free schema makes
     block schemas identical and hashable."""
+    import os
+
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    schema = pq.read_schema(path).remove_metadata()
+    # accept everything rd.read_parquet accepts: a single file, a
+    # sharded directory, or a list of either — the schema comes from
+    # the first fragment (pq.read_schema only handles a lone file)
+    first = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(first):
+        frags = sorted(f for f in os.listdir(first) if f.endswith(".parquet"))
+        if not frags:
+            raise FileNotFoundError(f"no .parquet fragments under {first!r}")
+        first = os.path.join(first, frags[0])
+    schema = pq.read_schema(first).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
     return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)

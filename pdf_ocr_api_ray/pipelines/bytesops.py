@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -90,6 +91,15 @@ def protect_keystream(password: str, doc_id, n: int) -> bytes:
     return bytes(out[:n])
 
 
+def xor_bytes(b: bytes, ks: bytes) -> bytes:
+    """b ⊕ ks, vectorized (both same length)."""
+    if not b:
+        return b
+    return (
+        np.frombuffer(b, dtype=np.uint8) ^ np.frombuffer(ks, dtype=np.uint8)
+    ).tobytes()
+
+
 def compress_payloads(sf_dir: str, level: int = 6):
     """compresspdf analogue: deflate each payload and verify the
     decompress round-trip in-stage. The driver-checkable projection is
@@ -124,8 +134,10 @@ def protect_payloads(sf_dir: str, password: str = "owner-pass"):
         restored_ok = []
         for doc_id, b in zip(df["doc_id"], df["payload"]):
             ks = protect_keystream(password, doc_id, len(b))
-            enc = bytes(x ^ y for x, y in zip(b, ks))
-            dec = bytes(x ^ y for x, y in zip(enc, ks))
+            # vectorized keystream XOR (numpy uint8) — byte-identical to
+            # the per-byte loop at ~100× the throughput on MB payloads
+            enc = xor_bytes(b, ks)
+            dec = xor_bytes(enc, ks)
             raw_len.append(len(b))
             # the cipher output digest isn't SQL-reproducible; the
             # driver-checkable signal is the in-stage round-trip

@@ -187,7 +187,12 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = JACCARD_THRESHOLD)
         for j, text in enumerate(df["text"]):
             sig_mat[j] = _minhash_sig(_TOKEN_RE.findall(text or ""))
         bands = sig_mat.reshape(n, N_BANDS, rows_per_band)
-        bh = (bands[:, :, 0] * _SC1 + bands[:, :, 1] * _SC2).view(np.int64)  # (n, bands)
+        # polynomial fold over ALL rows of each band — complete for any
+        # retuned (N_BANDS, rows_per_band), not just the current 32×2
+        bh_u = np.zeros((n, N_BANDS), dtype=np.uint64)
+        for k in range(rows_per_band):
+            bh_u = bh_u * _SC1 + bands[:, :, k]
+        bh = bh_u.view(np.int64)  # (n, bands)
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(df["doc_id"].to_numpy(), N_BANDS),

@@ -122,6 +122,15 @@ def _augment_probe_dups(df: pd.DataFrame, probe_ids) -> pd.DataFrame:
     200_000 + probe_id*100 + j. SQL-reproducible (plain UNION ALL).
     Identical vectors hash to the probe's own LSH bucket, so the
     planted top-k is recovered deterministically."""
+    # the planted-id namespace starts at 200_000; a corpus whose real
+    # vec_ids reach it would silently collide with the planted rows
+    # (engine and oracle share the formula, so parity would still pass
+    # while neighbor identities were corrupt) — fail loudly instead
+    if len(df) and int(df["vec_id"].max()) >= 200_000:
+        raise ValueError(
+            "embeddings vec_id >= 200000 collides with the planted-duplicate "
+            "id namespace; raise the id base in _augment_probe_dups"
+        )
     keep = df[df["vec_id"].isin(list(map(int, probe_ids)))]
     outs = [df]
     for j in range(N_PROBE_DUPS):
