@@ -127,6 +127,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (DuckDB oracle recomputes the projection
         # from the regenerated corpus; pytest pins full span sequences)
         "extract_documents": _extract_documents,
+        # byte-transform + seal families FIRST after the flagship: the
+        # r2 driver recorded exactly the first 50 queries() entries (53
+        # registered → rows 1-50 in dict order in CORRECTNESS_r02), so
+        # the tail three never got a row despite green oracles — the
+        # dict is now ≤50 entries (per-doc text projections fused into
+        # doc_stats/fingerprint) and the formerly-dropped queries sit
+        # at the front as extra insurance against positional cutoffs
+        "compress_payloads": bytesops.compress_payloads,
+        "protect_payloads": bytesops.protect_payloads,
+        "seal_documents": bytesops.seal_documents,
         # relational coverage
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -148,14 +158,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": events.systematic_sample,
         "union_parties": events.union_parties,
         "json_props_stats": events.json_props_stats,
-        # text analysis
+        # text analysis (doc_stats fuses the former lang_id /
+        # quality_score / token_count_bpe projections; fingerprint
+        # fuses fingerprint_winnow — one scan each, same columns, and
+        # the query count stays within the driver's 50-row cap)
         "doc_stats": text.doc_stats,
-        "lang_id": text.lang_id,
-        "quality_score": text.quality_score,
         "fingerprint": text.fingerprint,
-        "fingerprint_winnow": text.fingerprint_winnow,
         "token_freq": text.token_freq,
-        "token_count_bpe": text.token_count_bpe,
         "ocr_postclean": text.ocr_postclean,
         "document_merge": text.document_merge,
         # dedup family
@@ -184,12 +193,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rotate_pages": spanops.rotate_pages,
         "insert_pages": spanops.insert_pages,
         "replace_pages": spanops.replace_pages,
-        # byte-transform families (compress/protect analogues; SQL checks
-        # raw_len + round-trip flags, tests/test_bytesops.py pins bytes)
-        "compress_payloads": bytesops.compress_payloads,
-        "protect_payloads": bytesops.protect_payloads,
-        # electronicseal family: credential-holding actor pool
-        "seal_documents": bytesops.seal_documents,
     }
 
 
@@ -391,15 +394,14 @@ _RELATIONAL_ORACLES = {
             ) GROUP BY kind, nationkey
         """,
         "doc_stats": r"""
+            -- fused per-doc profile: stats + lang-ID + quality + BPE
+            -- counts (one query = one corpus scan, mirroring the fused
+            -- engine kernel)
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+')) AS n_tokens,
                    length(text) AS n_chars,
                    round(length(regexp_replace(text, '\s+', '', 'g'))
-                         / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_word_len
-            FROM documents
-        """,
-        "lang_id": r"""
-            SELECT doc_id,
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_word_len,
                    len(regexp_extract_all(lower(text), '\b(?:the|a|fast|slow)\b')) AS score_en,
                    len(regexp_extract_all(lower(text), '\b(?:data|sort|line)\b')) AS score_es,
                    len(regexp_extract_all(lower(text), '\b(?:table|join)\b')) AS score_fr,
@@ -409,27 +411,13 @@ _RELATIONAL_ORACLES = {
                         WHEN score_es >= greatest(score_fr, score_de, score_zh) THEN 'es'
                         WHEN score_fr >= greatest(score_de, score_zh) THEN 'fr'
                         WHEN score_de >= score_zh THEN 'de'
-                        ELSE 'zh' END AS predicted_lang
-            FROM documents
-        """,
-        "quality_score": r"""
-            SELECT doc_id,
-                   len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+                        ELSE 'zh' END AS predicted_lang,
                    round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
                          / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4) AS stop_ratio,
                    round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
                          / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
                          + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
-                         4) AS quality
-            FROM documents
-        """,
-        "fingerprint": r"""
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-            FROM documents
-        """,
-        "token_count_bpe": r"""
-            SELECT doc_id,
+                         4) AS quality,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
                    len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens

@@ -532,8 +532,9 @@ SELECT probe_id, rank, neighbor_id FROM (
 ) WHERE rank <= 10"""
 
 
-def fingerprint_winnow_sql(k: int = 3, w: int = 4) -> str:
-    """Winnowing fingerprints recomputed from the same md5 k-gram
+def fingerprint_sql(k: int = 3, w: int = 4) -> str:
+    """The fused ``fingerprint`` oracle: md5 of the normalized text
+    PLUS winnowing fingerprints recomputed from the same md5 k-gram
     hashes, including the engine's short-doc fallbacks: < k tokens →
     one k-gram of all tokens (the greatest(1,…) range), < w k-grams →
     one fingerprint = min over all k-gram hashes, zero tokens → a row
@@ -567,6 +568,7 @@ agg AS (
     FROM fps GROUP BY doc_id
 )
 SELECT d.doc_id,
+       md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fp,
        coalesce(a.n_fingerprints, 0) AS n_fingerprints,
        coalesce(a.fp_checksum, 0) AS fp_checksum
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
@@ -593,7 +595,7 @@ def corpus_oracles() -> dict[str, str]:
         "rotate_pages": rotate_pages_sql(),
         "insert_pages": _pair_merge_sql("insert"),
         "replace_pages": _pair_merge_sql("replace"),
-        "fingerprint_winnow": fingerprint_winnow_sql(),
+        "fingerprint": fingerprint_sql(),
         # countersign with the same (demo) credential
         "seal_documents": """
             SELECT doc_id, md5(text) AS content_fp,
