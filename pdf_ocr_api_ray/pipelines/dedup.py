@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import pairs as verify
 from ._util import distinct_pairs, read_parquet_clean, round_half_away
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -163,21 +164,25 @@ JACCARD_THRESHOLD = 0.6
 _VERIFY_BUCKETS = 64
 
 
-def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = JACCARD_THRESHOLD):
+def dedup_minhash_lsh(
+    sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    *,
+    max_broadcast_pairs: int | None = None,
+):
     """MinHash+LSH near-dup detection: signature → band rows → bucketed
     collision scan → candidate pairs → distributed exact-Jaccard
-    verification. Returns confirmed pairs (a < b) with their Jaccard.
+    verification (``pairs.verify_jaccard_pairs``). Returns confirmed
+    pairs (a < b) with their Jaccard.
 
-    Only candidate pair *ids* are collected to the driver (they form
-    the broadcast routing index for verification); each pair's two
-    shingle-hash sets meet in a hash bucket of the verify exchange —
-    document text never reaches the driver and is never re-read
-    per-pair. At extreme candidate volumes the same routing runs as a
-    distributed semi-join (Dataset.join on doc_id) — the driver then
-    holds nothing; the collected-index form is the low-latency variant.
+    Verification auto-routes on candidate count: below the broadcast
+    cap the pair ids form a driver-collected routing index (16 B/pair,
+    ``ray.put`` once — the low-latency path); above it the pairs and
+    shingle sets meet in two hash-partitioned ``Dataset.join``s and
+    the driver holds nothing (the 10⁹-candidate path;
+    tests/test_properties.py forces it and pins identical output).
+    Document text never reaches the driver in either mode.
     """
-    import ray
-
     ds = _augmented_documents(sf_dir, mutated=True)
     rows_per_band = N_HASHES // N_BANDS
 
@@ -229,105 +234,39 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = JACCARD_THRESHOLD)
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    # distributed candidate dedup BEFORE the driver collect: a
-    # mass-duplicated text puts identical signatures in the same bucket
-    # of EVERY band, so raw candidates repeat up to N_BANDS× — dedupe
-    # in pair-hash buckets so the driver receives each pair once
-    cand = distinct_pairs(
-        bands.groupby("gb").map_groups(bucket_pairs, batch_format="pandas")
-    ).to_pandas()
-    if cand.empty:
-        # uniform Dataset return type (Ray's to_pandas drops schema on
-        # ANY empty dataset — a known engine-wide limitation, not ours)
-        import ray.data as rd
+    # distributed candidate dedup BEFORE any routing: a mass-duplicated
+    # text puts identical signatures in the same bucket of EVERY band,
+    # so raw candidates repeat up to N_BANDS× — dedupe in pair-hash
+    # buckets so each pair is routed once
+    cand = distinct_pairs(bands.groupby("gb").map_groups(bucket_pairs, batch_format="pandas"))
 
-        return rd.from_arrow(
-            pa.schema(
-                [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
-            ).empty_table()
-        )
-    pairs = np.unique(cand[["id_a", "id_b"]].to_numpy(np.int64), axis=0)
+    def make_sets(members_ref):
+        """Per-doc shingle-hash sets (broadcast mode hashes only docs
+        that appear in a candidate pair; join mode filters by joining)."""
+        import ray
 
-    # routing index: doc_id → [(pair_idx, side)] — ids only, broadcast once
-    roles: dict[int, list[tuple[int, int]]] = {}
-    for pidx, (a, b) in enumerate(pairs):
-        roles.setdefault(int(a), []).append((pidx, 0))
-        roles.setdefault(int(b), []).append((pidx, 1))
-    idx_ref = ray.put((pairs, roles))
+        def emit(t: pa.Table) -> pa.Table:
+            members = ray.get(members_ref) if members_ref is not None else None
+            ids, hashes = [], []
+            for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                if members is not None and int(doc_id) not in members:
+                    continue
+                ids.append(int(doc_id))
+                hashes.append(_shingle_hashes(_TOKEN_RE.findall(text or "")))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "hashes": pa.array(hashes, pa.list_(pa.uint64())),
+                },
+                schema=verify.SETS_SCHEMA,
+            )
 
-    sets_schema = pa.schema(
-        [
-            ("vb", pa.int32()),
-            # one row per (doc, verify-bucket): the doc's shingle set is
-            # shipped ONCE per bucket it participates in, with its pair
-            # memberships encoded alongside (pidx*2 + side) — O(k·B)
-            # exchange volume for a k-duplicate cluster, not O(k²)
-            ("roles", pa.list_(pa.int64())),
-            ("hashes", pa.list_(pa.uint64())),
-        ]
-    )
+        return ds.map_batches(emit, batch_format="pyarrow")
 
-    def emit_sets(t: pa.Table) -> pa.Table:
-        _, role_map = ray.get(idx_ref)
-        vb, roles_c, hashes_c = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            rs = role_map.get(int(doc_id))
-            if not rs:
-                continue
-            hs = _shingle_hashes(_TOKEN_RE.findall(text or ""))
-            by_vb: dict[int, list[int]] = {}
-            for pidx, side in rs:
-                by_vb.setdefault(pidx % _VERIFY_BUCKETS, []).append(pidx * 2 + side)
-            for b, enc in by_vb.items():
-                vb.append(b)
-                roles_c.append(enc)
-                hashes_c.append(hs)
-        return pa.table(
-            {
-                "vb": pa.array(vb, pa.int32()),
-                "roles": pa.array(roles_c, pa.list_(pa.int64())),
-                "hashes": pa.array(hashes_c, pa.list_(pa.uint64())),
-            },
-            schema=sets_schema,
-        )
-
-    sets = ds.map_batches(emit_sets, batch_format="pyarrow")
-
-    def verify_bucket(g: pa.Table) -> pa.Table:
-        all_pairs, _ = ray.get(idx_ref)
-        roles_l = g["roles"].to_pylist()
-        hl = g["hashes"].to_pylist()
-        by_pair: dict[int, list] = {}
-        for k in range(len(roles_l)):
-            hs = np.asarray(hl[k], dtype=np.uint64)
-            for enc in roles_l[k]:
-                pidx, side = divmod(int(enc), 2)
-                by_pair.setdefault(pidx, [None, None])[side] = hs
-        ka, kb, jac = [], [], []
-        for p, (sa, sb) in by_pair.items():
-            if sa is None or sb is None or sa.size == 0 or sb.size == 0:
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union
-            if j >= jaccard_threshold:
-                ka.append(int(all_pairs[p][0]))
-                kb.append(int(all_pairs[p][1]))
-                jac.append(j)
-        return pa.table(
-            {
-                "id_a": pa.array(ka, pa.int64()),
-                "id_b": pa.array(kb, pa.int64()),
-                "jaccard": pa.array(
-                    round_half_away(pd.Series(jac, dtype="float64"), 4).to_numpy()
-                    if jac
-                    else np.array([], dtype="float64"),
-                    pa.float64(),
-                ),
-            }
-        )
-
-    return sets.groupby("vb").map_groups(verify_bucket, batch_format="pyarrow")
+    kwargs = {}
+    if max_broadcast_pairs is not None:
+        kwargs["max_broadcast_pairs"] = max_broadcast_pairs
+    return verify.verify_jaccard_pairs(make_sets, cand, jaccard_threshold, **kwargs)
 
 
 def simhash64(tokens: list[str]) -> int:
@@ -437,26 +376,188 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     return distinct_pairs(pairs, keep_min="hamming")
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
-    """Within-source pairwise word-set Jaccard (SQL-checkable near-dup
-    baseline): pairs (a<b) in the same ``source`` with J ≥ threshold."""
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    *,
+    max_broadcast_pairs: int | None = None,
+):
+    """Within-source pairwise word-set Jaccard: pairs (a<b) in the same
+    ``source`` with J ≥ threshold — EXACT output via prefix-filtered
+    AllPairs (Bayardo et al., WWW'07 / SSJoin), not an all-pairs scan:
+
+    1. one pass computes global token document frequencies (per-batch
+       pre-agg, vocabulary-sized shuffle), collected as the broadcast
+       ordering map (df ≥ 2 only — df-1 tokens can't join a pair, and
+       they default to df = 1 consistently on every worker);
+    2. each doc sorts its token-hash set by (df, hash) — rarest first —
+       and posts only its PREFIX of length n − ⌈t·n⌉ + 1 under that
+       order. Lemma (SSJoin): any pair with overlap ≥ ⌈t·n⌉ shares a
+       prefix token, so candidate generation is lossless; common tokens
+       land in few prefixes, killing the stopword-posting-list blowup;
+    3. candidates = same-source pairs meeting in a (source, token)
+       posting list (+ the t·n_a ≤ n_b length filter), deduped in hash
+       buckets, then exact-verified by ``pairs.verify_jaccard_pairs``
+       (broadcast or Dataset.join routing, auto-switched).
+
+    Replaces the r2 per-source O(n²) Python double loop — a source with
+    10⁵ docs now costs posting lists + verified candidates instead of
+    5×10⁹ set intersections, and no Ray group ever holds a whole
+    source. The SQL oracle (exact all-pairs) is unchanged: prefix
+    filtering is exact, so output is identical.
+
+    Scale note: the df ordering map is driver-collected vocabulary
+    metadata (like the broadcast nation dict). At extreme vocabularies
+    cap it to the hottest K tokens — any total, worker-consistent order
+    stays EXACT (the lemma needs only a fixed global order); df
+    ordering merely minimizes candidates.
+    """
+    import math
+
+    import ray
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sets = [set(_TOKEN_RE.findall(t or "")) for t in g["text"]]
-        out_a, out_b, jac = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                if union and inter / union >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    jac.append(float(round_half_away(pd.Series([inter / union]), 4).iloc[0]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": jac})
+    sets_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("hashes", pa.list_(pa.uint64())),
+        ]
+    )
 
-    return ds.groupby("source").map_groups(pairs, batch_format="pandas")
+    def tok_sets(t: pa.Table) -> pa.Table:
+        ids, srcs, hashes = [], [], []
+        for doc_id, src, text in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist()
+        ):
+            ids.append(int(doc_id))
+            srcs.append(src)
+            hashes.append(np.unique(_tok_hashes(_TOKEN_RE.findall(text or ""))))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "hashes": pa.array(hashes, pa.list_(pa.uint64())),
+            },
+            schema=sets_schema,
+        )
+
+    toks_ds = ds.map_batches(tok_sets, batch_format="pyarrow")
+
+    # pass 1: global token document frequencies → broadcast ordering map
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.uint64) for h in t["hashes"].to_pylist()]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq.view(np.int64), pa.int64()),
+                "partial": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df_pd = (
+        toks_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("partial", alias_name="df"))
+        .to_pandas()
+    )
+    df_pd = df_pd[df_pd["df"] >= 2]  # df-1 tokens can never connect a pair
+    df_map = dict(
+        zip(df_pd["h"].to_numpy(np.int64).view(np.uint64), df_pd["df"].to_numpy())
+    )
+    df_ref = ray.put(df_map)
+
+    # pass 2: post prefix tokens (rarest-first order), bucketed
+    def postings(t: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        pref_arrs, src_c, id_c, n_c, shash = [], [], [], [], []
+        for doc_id, src, hs in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["hashes"].to_pylist()
+        ):
+            n = len(hs)
+            if n == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.uint64)
+            dfs = np.fromiter((dfm.get(int(h), 1) for h in arr), dtype=np.int64, count=n)
+            order = np.lexsort((arr, dfs))  # (df, hash) ascending — rarest first
+            plen = n - math.ceil(threshold * n - 1e-9) + 1
+            prefix = arr[order[:plen]]
+            pref_arrs.append(prefix)
+            src_c.extend([src] * len(prefix))
+            id_c.extend([int(doc_id)] * len(prefix))
+            n_c.extend([n] * len(prefix))
+            shash.append(np.full(len(prefix), _stable64(src or ""), dtype=np.uint64))
+        if not pref_arrs:
+            prefix_all = np.empty(0, dtype=np.uint64)
+            sh_all = np.empty(0, dtype=np.uint64)
+        else:
+            prefix_all = np.concatenate(pref_arrs)
+            sh_all = np.concatenate(shash)
+        gb = ((prefix_all * _SC1) ^ sh_all) % np.uint64(NUM_SUPER_BUCKETS)
+        return pa.table(
+            {
+                "gb": pa.array(gb.astype(np.int32), pa.int32()),
+                "source": pa.array(src_c, pa.string()),
+                "h": pa.array(prefix_all.view(np.int64), pa.int64()),
+                "doc_id": pa.array(id_c, pa.int64()),
+                "n_tok": pa.array(n_c, pa.int64()),
+            }
+        )
+
+    posts = toks_ds.map_batches(postings, batch_format="pyarrow")
+
+    def post_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in group.groupby(["source", "h"]):
+            rows = g[["doc_id", "n_tok"]].drop_duplicates("doc_id").sort_values("doc_id")
+            if len(rows) < 2:
+                continue
+            ids = rows["doc_id"].to_numpy()
+            ns = rows["n_tok"].to_numpy()
+            ii, jj = np.triu_indices(len(ids), k=1)
+            # length filter: J ≥ t needs t·max(n_a,n_b) ≤ min(n_a,n_b)
+            keep = (
+                np.minimum(ns[ii], ns[jj])
+                >= threshold * np.maximum(ns[ii], ns[jj]) - 1e-9
+            )
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    cand = distinct_pairs(posts.groupby("gb").map_groups(post_pairs, batch_format="pandas"))
+
+    def make_sets(members_ref):
+        def emit(t: pa.Table) -> pa.Table:
+            members = ray.get(members_ref) if members_ref is not None else None
+            ids, hashes = [], []
+            for doc_id, hs in zip(t["doc_id"].to_pylist(), t["hashes"].to_pylist()):
+                if members is not None and int(doc_id) not in members:
+                    continue
+                ids.append(int(doc_id))
+                hashes.append(hs)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "hashes": pa.array(hashes, pa.list_(pa.uint64())),
+                },
+                schema=verify.SETS_SCHEMA,
+            )
+
+        return toks_ds.map_batches(emit, batch_format="pyarrow")
+
+    kwargs = {}
+    if max_broadcast_pairs is not None:
+        kwargs["max_broadcast_pairs"] = max_broadcast_pairs
+    return verify.verify_jaccard_pairs(make_sets, cand, threshold, **kwargs)

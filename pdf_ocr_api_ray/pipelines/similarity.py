@@ -30,12 +30,26 @@ N_PROBES = 5
 TOP_K = 10
 
 
+def _smallest_by_vec_id(sf_dir: str, k: int) -> pd.DataFrame:
+    """(vec_id, embedding) rows of the k globally-smallest vec_ids,
+    computed DISTRIBUTED: a per-batch partial bottom-k (≤ k rows leave
+    each block) followed by a sort+limit over the reduced set — the
+    driver never reads the embeddings table; at 10^9 vectors the
+    full-table ``pq.read_table`` this replaces would be a driver OOM
+    for what is a k-row selection."""
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        order = np.argsort(t["vec_id"].to_numpy(), kind="stable")[:k]
+        return t.take(pa.array(order))
+
+    reduced = ds.map_batches(partial, batch_format="pyarrow").sort("vec_id").limit(k)
+    return reduced.to_pandas()
+
+
 def _probe_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """The probe set: embeddings of the N_PROBES smallest vec_ids."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(N_PROBES)
+    df = _smallest_by_vec_id(sf_dir, N_PROBES)
     ids = df["vec_id"].to_numpy()
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -238,15 +252,10 @@ def ann_topk_ivf(sf_dir: str, n_probe_cells: int = 4):
     is assigned to the probe's own nearest cell, so the planted top-k
     is recovered deterministically and the brute-force SQL oracle
     applies unchanged."""
-    import pyarrow.parquet as pq
-
     probe_ids, probes = _probe_matrix(sf_dir)
-    sample = (
-        pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-        .to_pandas()
-        .sort_values("vec_id")
-        .head(IVF_SAMPLE)
-    )
+    # k-means training sample: the IVF_SAMPLE smallest vec_ids,
+    # selected distributed (no driver full-table read)
+    sample = _smallest_by_vec_id(sf_dir, IVF_SAMPLE)
     smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
     cents = _kmeans_centroids(smat, IVF_CELLS)
