@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_payloads": bytesops.compress_payloads,
         "protect_payloads": bytesops.protect_payloads,
         "seal_documents": bytesops.seal_documents,
+        # autotag + accessibility-checker report (new in r3 — closes
+        # the last §2.3 partial)
+        "autotag_report": spanops.autotag_report,
         # relational coverage
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,

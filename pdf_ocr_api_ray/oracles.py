@@ -408,6 +408,36 @@ FROM (SELECT DISTINCT did // 2 AS pair FROM b2) p
 LEFT JOIN agg a ON a.pair = p.pair"""
 
 
+def autotag_report_sql(page_start: int = 0, page_end: int = 2) -> str:
+    """The autotag/accessibility report recomputed from the regenerated
+    corpus (see pipelines/spanops.autotag_report for the column
+    definitions and the reference file:line anchors)."""
+    return f"""WITH {corpus_ctes()},
+agg AS (
+    SELECT doc_id,
+           sum(CASE WHEN kind = 'text' AND text <> '' THEN 1 ELSE 0 END) AS n_p,
+           count(DISTINCT CASE WHEN kind = 'table_header' THEN "offset" // 10000 END) AS n_tables,
+           sum(CASE WHEN kind = 'page_image' THEN 1 ELSE 0 END) AS n_figures,
+           sum(CASE WHEN kind = 'text' AND text <> '' AND "offset" % 10000 = 0
+               THEN 1 ELSE 0 END) AS n_h_shifted,
+           count(DISTINCT CASE WHEN "offset" // 10000 BETWEEN {page_start} AND {page_end}
+                 THEN "offset" // 10000 END) AS n_pages_checked,
+           sum(CASE WHEN kind = 'page_image' AND text = ''
+                     AND "offset" // 10000 BETWEEN {page_start} AND {page_end}
+               THEN 1 ELSE 0 END) AS n_figs_no_alt
+    FROM corpus_spans GROUP BY doc_id
+)
+SELECT b.doc_id_s AS doc_id,
+       CAST(coalesce(a.n_p, 0) AS BIGINT) AS n_p,
+       CAST(coalesce(a.n_tables, 0) AS BIGINT) AS n_tables,
+       CAST(coalesce(a.n_figures, 0) AS BIGINT) AS n_figures,
+       CAST(coalesce(a.n_h_shifted, 0) AS BIGINT) AS n_h_shifted,
+       CAST(coalesce(a.n_pages_checked, 0) AS BIGINT) AS n_pages_checked,
+       CAST(coalesce(a.n_figs_no_alt, 0) AS BIGINT) AS n_figs_no_alt,
+       coalesce(a.n_figs_no_alt, 0) = 0 AS passed
+FROM b2 b LEFT JOIN agg a ON a.doc_id = b.doc_id_s"""
+
+
 def compress_payloads_sql() -> str:
     return """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS raw_len,
@@ -585,6 +615,7 @@ def corpus_oracles() -> dict[str, str]:
         "span_watermark": span_watermark_sql(),
         "span_combine": span_combine_sql(),
         "extract_layout": extract_layout_sql(),
+        "autotag_report": autotag_report_sql(),
         "compress_payloads": compress_payloads_sql(),
         "protect_payloads": protect_payloads_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),

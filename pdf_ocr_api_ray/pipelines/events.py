@@ -183,17 +183,24 @@ def json_props_stats(sf_dir: str):
     )
 
 
-def value_percentiles(sf_dir: str):
-    """Exact grouped percentiles (p50/p95 of value per event_type):
-    values are quantized to integer micro-units, co-located per group
-    by the groupby, and interpolated with the standard linear
-    (quantile_cont) formula — identical arithmetic to DuckDB, so the
-    doubles match before rounding. Exact percentiles inherently need
-    the group's values together (one shuffle); at 10^12 rows the scale
-    path swaps this stage for a mergeable sketch (t-digest/KLL) with
-    the same output schema."""
-    import ray.data as rd
+_PCT_NBINS = 4096
 
+
+def _np_lerp(a: float, b: float, t: float) -> float:
+    """numpy's quantile interpolation arithmetic, replicated exactly
+    (np.lib._function_base_impl._lerp): t ≥ 0.5 evaluates from the b
+    side for accuracy. Using the identical expression keeps the result
+    bit-equal to np.percentile(method='linear') — and therefore to
+    DuckDB's quantile_cont, which the r1/r2 single-group implementation
+    already matched."""
+    diff = b - a
+    out = a + diff * t
+    if t >= 0.5:
+        out = b - diff * (1 - t)
+    return out
+
+
+def _quantize_values(sf_dir: str):
     ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "value"])
 
     def quantize(df: pd.DataFrame) -> pd.DataFrame:
@@ -204,22 +211,275 @@ def value_percentiles(sf_dir: str):
             }
         )
 
-    def pct(group: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(group["value_u"].to_numpy())
-        p50 = np.percentile(v, 50, method="linear") / 1e6
-        p95 = np.percentile(v, 95, method="linear") / 1e6
+    return ds.map_batches(quantize, batch_format="pandas")
+
+
+def value_percentiles(sf_dir: str):
+    """Exact grouped percentiles (p50/p95 of value per event_type) —
+    DISTRIBUTED, no per-group value materialization (the r2 version
+    shipped every value of an event_type into one map_groups call; at
+    10^12 rows that one group is the job):
+
+    1. per-type count/min/max (one tiny aggregate) → the ranks each
+       quantile needs (floor/ceil of q·(n−1));
+    2. per-type fixed-width histogram (per-batch pre-agg → bounded
+       groupby of ≤ types × 4096 bin rows) → cumulative counts locate
+       the BIN holding each needed rank;
+    3. a second pre-aggregated pass collects (value, count) only for
+       those target bins (≤ bin-width distinct values each) — the
+       driver receives bounded metadata at every step, never the data.
+
+    Interpolation replicates np.percentile's linear formula exactly
+    (``_np_lerp``), so output is bit-identical to the r2 single-group
+    path and to DuckDB's quantile_cont. A one-pass mergeable-sketch
+    alternative (``value_percentiles_sketch``) trades exactness for a
+    single shuffle of ≤ compression centroids per (batch, type).
+
+    Values are quantized to integer micro-units first, so sums/ranks
+    are order-independent and the arithmetic is exact."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    q_ds = _quantize_values(sf_dir)
+
+    # pass 1: per-type n/min/max → needed ranks
+    meta = (
+        q_ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value_u", alias_name="mn"),
+            Max("value_u", alias_name="mx"),
+        )
+        .to_pandas()
+    )
+    info: dict[str, dict] = {}
+    for _, row in meta.iterrows():
+        n, mn, mx = int(row["n"]), int(row["mn"]), int(row["mx"])
+        width = max(1, math.ceil((mx - mn + 1) / _PCT_NBINS))
+        ranks: set[int] = set()
+        for q in (0.5, 0.95):
+            pos = q * (n - 1)
+            i = int(np.floor(pos))
+            ranks.add(i)
+            ranks.add(min(i + 1, n - 1))
+        info[row["event_type"]] = {"n": n, "mn": mn, "width": width, "ranks": ranks}
+    geom_ref = ray.put({et: (d["mn"], d["width"]) for et, d in info.items()})
+
+    # pass 2: per-type histogram (pre-agg per batch, bounded shuffle)
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        look = ray.get(geom_ref)
+        outs = []
+        for et, g in df.groupby("event_type", sort=False):
+            mn, width = look[et]
+            bins = (g["value_u"].to_numpy() - mn) // width
+            ub, cnt = np.unique(bins, return_counts=True)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "bin": ub.astype("int64"),
+                        "c": cnt.astype("int64"),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "bin": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    hist = (
+        q_ds.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("c", alias_name="nb"))
+        .to_pandas()
+    )
+
+    # locate the bin of every needed rank; remember ranks-below-bin
+    rank_bin: dict[str, dict[int, tuple[int, int]]] = {}  # et -> rank -> (bin, below)
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("bin")
+        cnts = g["nb"].to_numpy()
+        cum = cnts.cumsum()
+        below = cum - cnts
+        bins_ = g["bin"].to_numpy()
+        for r in info[et]["ranks"]:
+            idx = int(np.searchsorted(cum, r + 1))
+            rank_bin.setdefault(et, {})[r] = (int(bins_[idx]), int(below[idx]))
+    tb_ref = ray.put(
+        {et: {b for b, _ in d.values()} for et, d in rank_bin.items()}
+    )
+
+    # pass 3: (value, count) for target bins only — distinct values per
+    # bin are bounded by the bin width, so the collect is bounded even
+    # under massive duplication of a single value
+    def val_partial(df: pd.DataFrame) -> pd.DataFrame:
+        look = ray.get(geom_ref)
+        tbs = ray.get(tb_ref)
+        outs = []
+        for et, g in df.groupby("event_type", sort=False):
+            mn, width = look[et]
+            tb = tbs.get(et)
+            if not tb:
+                continue
+            v = g["value_u"].to_numpy()
+            mask = np.isin((v - mn) // width, list(tb))
+            if mask.any():
+                uv, cnt = np.unique(v[mask], return_counts=True)
+                outs.append(
+                    pd.DataFrame(
+                        {"event_type": et, "value_u": uv, "c": cnt.astype("int64")}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "value_u": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    vals = (
+        q_ds.map_batches(val_partial, batch_format="pandas")
+        .groupby(["event_type", "value_u"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+
+    def rank_value(et: str, r: int) -> int:
+        b, below = rank_bin[et][r]
+        mn, width = info[et]["mn"], info[et]["width"]
+        g = vals[vals["event_type"] == et]
+        v = g["value_u"].to_numpy()
+        in_bin = (v - mn) // width == b
+        bv = np.sort(v[in_bin])
+        order = np.argsort(v[in_bin], kind="stable")
+        bc = g["n"].to_numpy()[in_bin][order]
+        local = r - below
+        cum = bc.cumsum()
+        return int(bv[np.searchsorted(cum, local + 1)])
+
+    rows = []
+    for et in sorted(info):
+        n = info[et]["n"]
+        out = {"event_type": et}
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            pos = q * (n - 1)
+            i = int(np.floor(pos))
+            frac = pos - i
+            vlo = float(rank_value(et, i))
+            vhi = float(rank_value(et, min(i + 1, n - 1)))
+            out[col] = _np_lerp(vlo, vhi, frac) / 1e6
+        rows.append(out)
+    res = pd.DataFrame(rows)
+    res["p50"] = round_half_away(res["p50"], 4)
+    res["p95"] = round_half_away(res["p95"], 4)
+    return res
+
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray, compression: int):
+    """Merging t-digest compaction (Dunning's k1-less uniform variant
+    with the classic q(1−q) size bound): input centroids sorted by
+    mean; greedily merge neighbors while the merged centroid's weight
+    stays within 4·total·q(1−q)/δ at its cumulative position.
+    Deterministic for a given (mean, weight) multiset — inputs are
+    sorted by (mean, weight) first."""
+    order = np.lexsort((weights, means))
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cum = 0.0
+    cur_m, cur_w = means[0], weights[0]
+    for m, w in zip(means[1:], weights[1:]):
+        q = (cum + (cur_w + w) / 2.0) / total
+        cap = max(1.0, 4.0 * total * q * (1.0 - q) / compression)
+        if cur_w + w <= cap:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _tdigest_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Standard t-digest quantile read: interpolate between centroid
+    means at cumulative mid-positions."""
+    total = weights.sum()
+    cum = weights.cumsum()
+    mids = cum - weights / 2.0
+    target = q * total
+    if target <= mids[0]:
+        return float(means[0])
+    if target >= mids[-1]:
+        return float(means[-1])
+    j = int(np.searchsorted(mids, target))
+    m0, m1 = means[j - 1], means[j]
+    t = (target - mids[j - 1]) / (mids[j] - mids[j - 1])
+    return float(m0 + t * (m1 - m0))
+
+
+def value_percentiles_sketch(sf_dir: str, compression: int = 256):
+    """One-pass MERGEABLE-sketch percentiles (t-digest): each batch
+    emits ≤ ``compression`` (mean, weight) centroid rows per event
+    type; the only shuffle carries centroids (types × batches ×
+    compression rows — independent of row count), merged per type by a
+    final compaction. Approximate by construction (bounded rank error
+    concentrated at the tails — tests/test_events_sketch.py asserts
+    the empirical rank-error bound); ``value_percentiles`` is the
+    exact multi-pass twin and the driver-verified query. Same output
+    schema (event_type, p50, p95)."""
+    import ray.data as rd
+
+    q_ds = _quantize_values(sf_dir)
+
+    def batch_sketch(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in df.groupby("event_type", sort=False):
+            uv, cnt = np.unique(g["value_u"].to_numpy(), return_counts=True)
+            m, w = _tdigest_compress(
+                uv.astype(np.float64), cnt.astype(np.float64), compression
+            )
+            outs.append(pd.DataFrame({"event_type": et, "mean": m, "weight": w}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "mean": pd.Series([], dtype="float64"),
+                    "weight": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def merge_type(group: pd.DataFrame) -> pd.DataFrame:
+        m, w = _tdigest_compress(
+            group["mean"].to_numpy(), group["weight"].to_numpy(), compression
+        )
         return pd.DataFrame(
             {
                 "event_type": [group["event_type"].iloc[0]],
-                "p50": round_half_away(pd.Series([p50]), 4),
-                "p95": round_half_away(pd.Series([p95]), 4),
+                "p50": [_tdigest_quantile(m, w, 0.5) / 1e6],
+                "p95": [_tdigest_quantile(m, w, 0.95) / 1e6],
             }
         )
 
     return (
-        ds.map_batches(quantize, batch_format="pandas")
+        q_ds.map_batches(batch_sketch, batch_format="pandas")
         .groupby("event_type")
-        .map_groups(pct, batch_format="pandas")
+        .map_groups(merge_type, batch_format="pandas")
     )
 
 

@@ -670,3 +670,81 @@ def _project_counts(ds):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def autotag_report(sf_dir: str, page_start: int = 0, page_end: int = 2):
+    """autotag + pdfaccessibilitychecker analogue (reference
+    src/autotag/autotag-pdf-with-options.js:51-54 — AutotagPDFParams
+    {generateReport: true, shiftHeadings: true} — and
+    src/pdfaccessibilitychecker/pdf-accessibility-checker-with-options.js:50-53
+    — PDFAccessibilityCheckerParams {pageStart, pageEnd}): one per-doc
+    REPORT row over the spans corpus, fully vectorized (Arrow list
+    kernels + np.add.at scatter — no Python per span):
+
+    - tagging counts (the generated report): n_p = non-empty text
+      spans tagged <P>, n_tables = chunks carrying a table header,
+      n_figures = page_image spans;
+    - shiftHeadings: headings are the non-empty text spans at chunk
+      row 0 (the document/section title lines) — all shift one level,
+      n_h_shifted counts them;
+    - accessibility check over the [page_start, page_end] chunk range
+      (the checker's pageStart/pageEnd): n_pages_checked distinct
+      chunks in range, n_figs_no_alt = figures with no alt text (empty
+      ``text``) in range, passed = no violations. The corpus's media
+      branch plants alt-less images in chunk 0, so ``passed`` is
+      non-degenerate.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = _spans_corpus(sf_dir)
+
+    def report(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        text_len = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)
+        off = flat.field("offset").to_numpy(zero_copy_only=False)
+        chunk = (off // CHUNK_STRIDE).astype("int64")
+        row = (off % CHUNK_STRIDE).astype("int64")
+
+        is_text = kind == "text"
+        is_fig = kind == "page_image"
+        nonempty = text_len > 0
+        in_range = (chunk >= page_start) & (chunk <= page_end)
+
+        def scatter(mask) -> np.ndarray:
+            out = np.zeros(n, dtype="int64")
+            np.add.at(out, par[mask], 1)
+            return out
+
+        def distinct_chunks(mask) -> np.ndarray:
+            out = np.zeros(n, dtype="int64")
+            p, c = par[mask], chunk[mask]
+            if len(p):
+                order = np.lexsort((c, p))
+                ps, cs = p[order], c[order]
+                new = np.ones(len(ps), dtype=bool)
+                new[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
+                np.add.at(out, ps[new], 1)
+            return out
+
+        n_figs_no_alt = scatter(is_fig & ~nonempty & in_range)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_p": pa.array(scatter(is_text & nonempty)),
+                "n_tables": pa.array(distinct_chunks(kind == "table_header")),
+                "n_figures": pa.array(scatter(is_fig)),
+                "n_h_shifted": pa.array(scatter(is_text & nonempty & (row == 0))),
+                "n_pages_checked": pa.array(distinct_chunks(in_range)),
+                "n_figs_no_alt": pa.array(n_figs_no_alt),
+                "passed": pa.array(n_figs_no_alt == 0),
+            }
+        )
+
+    return ds.map_batches(report, batch_format="pyarrow")
