@@ -114,17 +114,24 @@ def run_bench() -> dict:
 
     # headline: extraction end-to-end (read → DAG → write); min of two
     # runs — local-mode wall times vary ±50% run to run (object-store
-    # cleanup, VM neighbors), and the best run is the engine's cost
+    # cleanup, VM neighbors), and the best run is the engine's cost.
+    # If the two runs disagree by >1.5× the box is contended (the r2
+    # driver bench hit exactly this) — take a third run and report all
+    # per-run walls so a noisy headline is self-evident.
     out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
     import shutil
 
-    headline = float("inf")
-    for _ in range(2):
+    def one_headline_run() -> float:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         ds = build_extraction(rd.read_parquet(corpus_path))
         ds.write_parquet(out_dir)
-        headline = min(headline, time.time() - t0)
+        return time.time() - t0
+
+    runs = [one_headline_run(), one_headline_run()]
+    if max(runs) / min(runs) > 1.5:
+        runs.append(one_headline_run())
+    headline = min(runs)
 
     queries = {}
 
@@ -158,6 +165,7 @@ def run_bench() -> dict:
         "metric": "extraction_e2e_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        "headline_runs": [round(r, 3) for r in runs],
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": NUM_CPUS,
@@ -239,6 +247,98 @@ def run_skew() -> dict:
     }
 
 
+def _ray_up():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_actors(concurrency: int) -> dict:
+    """Multi-node-shaped configuration A: the parse stage as an ACTOR
+    pool (the shape a real model-backed OCR stage uses — weights in
+    __init__) vs the default stateless-task path, same corpus."""
+    import shutil
+    import time as _time
+
+    import ray
+    import ray.data as rd
+
+    _ray_up()
+    from pdf_ocr_api_ray.pipelines.extraction import build_extraction
+
+    corpus_path, n_docs, _ = build_corpus()
+    rd.read_parquet(corpus_path).count()  # warm
+
+    def run(**kw) -> float:
+        best = float("inf")
+        for _ in range(2):
+            shutil.rmtree("/tmp/graft_actor_out", ignore_errors=True)
+            t0 = _time.time()
+            build_extraction(rd.read_parquet(corpus_path), **kw).write_parquet(
+                "/tmp/graft_actor_out"
+            )
+            best = min(best, _time.time() - t0)
+        return best
+
+    tasks_s = run()
+    actors_s = run(parse_concurrency=concurrency)
+    ray.shutdown()
+    return {
+        "metric": "parse_actor_pool_sec",
+        "value": round(actors_s, 3),
+        "unit": "sec",
+        "tasks_sec": round(tasks_s, 3),
+        "actor_concurrency": concurrency,
+        "n_docs": n_docs,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_neardup_tables(n_tables: int) -> dict:
+    """Multi-node-shaped configuration B: multi-table LSH near-dup
+    (boundary-recall mode) vs the single-table default, same input."""
+    import time as _time
+
+    import ray
+
+    _ray_up()
+    from pdf_ocr_api_ray.pipelines.similarity import embedding_near_dup
+
+    def run(nt: int) -> tuple[float, int]:
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = _time.time()
+            rows = embedding_near_dup(SF_DIR, n_tables=nt).count()
+            best = min(best, _time.time() - t0)
+        return best, rows
+
+    one_s, one_rows = run(1)
+    multi_s, multi_rows = run(n_tables)
+    ray.shutdown()
+    return {
+        "metric": "neardup_multitable_sec",
+        "value": round(multi_s, 3),
+        "unit": "sec",
+        "single_table_sec": round(one_s, 3),
+        "n_tables": n_tables,
+        "pairs_single": one_rows,
+        "pairs_multi": multi_rows,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling() -> dict:
     """Same headline job at 8 and 32 CPUs in fresh processes."""
 
@@ -292,5 +392,15 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
+    elif "--actors" in sys.argv:
+        i = sys.argv.index("--actors")
+        print(json.dumps(run_actors(int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 8)))
+    elif "--neardup-tables" in sys.argv:
+        i = sys.argv.index("--neardup-tables")
+        print(
+            json.dumps(
+                run_neardup_tables(int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 3)
+            )
+        )
     else:
         print(json.dumps(run_bench()))

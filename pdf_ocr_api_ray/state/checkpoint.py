@@ -55,14 +55,23 @@ def _done_records(out_dir: str) -> list[dict]:
 
 
 def _validate_resume(
-    out_dir: str, input_path: str, num_partitions: int, shards: list[str] | None
+    out_dir: str,
+    input_path: str,
+    num_partitions: int,
+    shards: list[str] | None,
+    listing: list[str],
 ) -> None:
     """Fail fast when a resume doesn't match what the manifest recorded.
 
     Skipping a partition is only sound if the partition FUNCTION is
-    unchanged: same num_partitions, same input, and (sharded mode) the
-    same shard listing — otherwise the skip silently duplicates or
-    drops documents. A changed spec must use a fresh out_dir."""
+    unchanged: same num_partitions, same input, same partitioning MODE
+    (shard-ownership vs doc-id-hash fallback — in BOTH directions: a
+    fallback-completed partition resumed in shard mode would silently
+    re-key ownership just as the reverse would), and the same input
+    file listing (growth of a fallback-mode input directory silently
+    adds documents that hash into already-skipped partitions). A
+    changed spec must use a fresh out_dir."""
+    mode = "shards" if shards is not None else "hash"
     for rec in _done_records(out_dir):
         if rec.get("num_partitions") not in (None, num_partitions):
             raise ValueError(
@@ -76,13 +85,19 @@ def _validate_resume(
                 f"{rec.get('input_path')!r} but this run reads {input_path!r}; "
                 f"use a fresh out_dir"
             )
-        rec_shards = rec.get("shards")
-        if rec_shards is not None and shards is None:
+        # pre-r3 manifests carry no mode/listing — infer mode from the
+        # shards field so old checkpoints keep their (weaker) guarantees
+        rec_mode = rec.get("mode") or ("shards" if rec.get("shards") is not None else None)
+        if rec_mode is not None and rec_mode != mode:
+            disp = {"shards": "sharded", "hash": "doc-id-hash"}
             raise ValueError(
                 f"resume mismatch: partition {rec['partition']} was completed in "
-                "sharded mode but this run would fall back to doc-id hashing "
-                "(input shards removed below num_partitions?); use a fresh out_dir"
+                f"{disp.get(rec_mode, rec_mode)} mode but this run uses "
+                f"{disp.get(mode, mode)} mode (input shard count crossed "
+                "num_partitions?); completed partitions would cover a different "
+                "document set — use a fresh out_dir"
             )
+        rec_shards = rec.get("shards")
         if rec_shards is not None and shards is not None:
             p = rec["partition"]
             cur = shards[p :: num_partitions]
@@ -92,6 +107,15 @@ def _validate_resume(
                     f"{rec_shards} but the input directory now yields {cur} "
                     f"(shards added/removed/renamed); use a fresh out_dir"
                 )
+        rec_listing = rec.get("listing")
+        if rec_listing is not None and rec_listing != listing:
+            raise ValueError(
+                f"resume mismatch: partition {rec['partition']} was completed "
+                f"against input listing {rec_listing} but the input now yields "
+                f"{listing} (files added/removed/renamed — in doc-id-hash mode "
+                "new files hash documents into already-completed partitions); "
+                "use a fresh out_dir"
+            )
 
 
 def _stage_metrics(ds) -> dict:
@@ -171,7 +195,13 @@ def run_checkpointed(
     processed = []
     shards = _input_shards(input_path)
     use_shards = shards is not None and len(shards) >= num_partitions
-    _validate_resume(out_dir, input_path, num_partitions, shards if use_shards else None)
+    # the full input listing is recorded in EVERY done record (also in
+    # hash-fallback mode, where per-partition shard ownership doesn't
+    # exist) so resume can detect input growth/shrink in any mode
+    listing = shards if shards is not None else [input_path]
+    _validate_resume(
+        out_dir, input_path, num_partitions, shards if use_shards else None, listing
+    )
 
     for p in range(num_partitions):
         if p in done:
@@ -245,6 +275,8 @@ def run_checkpointed(
                         "status": "done",
                         "input_path": input_path,
                         "num_partitions": num_partitions,
+                        "mode": "shards" if use_shards else "hash",
+                        "listing": listing,
                         "shards": shards[p::num_partitions] if use_shards else None,
                         "n_docs": n_docs,
                         "wall_s": round(wall, 3),

@@ -184,3 +184,48 @@ def test_resume_shard_mode_fallback_fails_fast(ray_session, depara, tmp_path):
         os.remove(in_dir / f)
     with pytest.raises(ValueError, match="sharded mode"):
         run_checkpointed(str(in_dir), out_dir, num_partitions=2, depara=depara)
+
+
+def test_resume_hash_to_shard_mode_fails_fast(ray_session, depara, tmp_path):
+    """The REVERSE transition: partitions completed in doc-id-hash
+    fallback mode (single file / few shards) must refuse to resume in
+    shard-ownership mode (input grew to >= num_partitions files) —
+    shard mode would re-key ownership and duplicate/drop documents."""
+    from pdf_ocr_api_ray.sources.fixtures import docs_to_table, generate_fixture_docs
+
+    docs = generate_fixture_docs(families=["f1_table_basic"], docs_per_family=8)
+    in_dir = tmp_path / "growing"
+    in_dir.mkdir()
+    tbl = docs_to_table(docs)
+    # one file < num_partitions=2 → hash fallback mode
+    pq.write_table(tbl, str(in_dir / "shard-000.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    run_checkpointed(str(in_dir), out_dir, num_partitions=2, depara=depara, max_partitions=1)
+
+    # grow to 2 files → the run would silently switch to shard mode
+    pq.write_table(tbl.slice(0, 2), str(in_dir / "shard-001.parquet"))
+    with pytest.raises(ValueError, match="doc-id-hash mode"):
+        run_checkpointed(str(in_dir), out_dir, num_partitions=2, depara=depara)
+
+
+def test_resume_hash_mode_input_growth_fails_fast(ray_session, depara, tmp_path):
+    """Input growth while STAYING in hash mode (new file, still below
+    num_partitions) must refuse: new documents hash into partitions the
+    manifest already marks done and would be silently skipped."""
+    from pdf_ocr_api_ray.sources.fixtures import docs_to_table, generate_fixture_docs
+
+    docs = generate_fixture_docs(families=["f1_table_basic"], docs_per_family=8)
+    in_dir = tmp_path / "growing2"
+    in_dir.mkdir()
+    tbl = docs_to_table(docs)
+    pq.write_table(tbl, str(in_dir / "shard-000.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    run_checkpointed(str(in_dir), out_dir, num_partitions=4, depara=depara, max_partitions=1)
+
+    # add a second file; 2 < 4 partitions → still hash mode, but the
+    # document set changed under completed partitions
+    pq.write_table(tbl.slice(0, 2), str(in_dir / "shard-001.parquet"))
+    with pytest.raises(ValueError, match="listing"):
+        run_checkpointed(str(in_dir), out_dir, num_partitions=4, depara=depara)
