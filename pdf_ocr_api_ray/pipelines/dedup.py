@@ -445,7 +445,13 @@ def ngram_jaccard_pairs(
             schema=sets_schema,
         )
 
-    toks_ds = ds.map_batches(tok_sets, batch_format="pyarrow")
+    # the token-hash projection feeds THREE consumers (df pass, posting
+    # pass, verify) — materialize it once instead of re-reading and
+    # re-tokenizing the corpus per consumer. The projection is ~8 B per
+    # distinct token occurrence (smaller than the text it replaces);
+    # at extreme scale the object store spills it, which still beats
+    # three full corpus scans + tokenizations
+    toks_ds = ds.map_batches(tok_sets, batch_format="pyarrow").materialize()
 
     # pass 1: global token document frequencies → broadcast ordering map
     def df_partial(t: pa.Table) -> pa.Table:
@@ -561,3 +567,124 @@ def ngram_jaccard_pairs(
     if max_broadcast_pairs is not None:
         kwargs["max_broadcast_pairs"] = max_broadcast_pairs
     return verify.verify_jaccard_pairs(make_sets, cand, threshold, **kwargs)
+
+
+def dedup_clusters(
+    sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_rounds: int = 8,
+    num_join_partitions: int = 64,
+):
+    """Near-dup CLUSTERING: connected components over the confirmed
+    near-dup pair graph (``dedup_minhash_lsh`` edges — exact copies
+    surface there at J = 1), one canonical representative (min doc_id)
+    per component — what a real dedup pass keys survivor selection on
+    when duplicates form chains (A≈B, B≈C but A≉C).
+
+    Distributed min-label propagation: every node starts labeled with
+    its own id; each round ships labels across edges with a
+    hash-partitioned ``Dataset.join`` and keeps the per-node minimum
+    (groupby-min). Converges in O(component diameter) rounds; the label
+    SUM is strictly decreasing until fixpoint, so convergence is
+    detected with a cheap aggregate instead of an old-vs-new join. All
+    state is Dataset-resident — the driver sees only per-round scalar
+    sums. Output: (doc_id, cluster_rep, cluster_size) for every doc in
+    at least one pair.
+
+    Not in the driver registry (the CORRECTNESS harness caps at 50
+    rows); tests/test_dedup_clusters.py pins it against a DuckDB
+    recursive-CTE transitive closure from first principles.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    try:
+        total_cpus = int(ray.cluster_resources().get("CPU", num_join_partitions))
+    except Exception:
+        total_cpus = num_join_partitions
+    nparts = max(2, min(num_join_partitions, total_cpus))
+
+    pairs_ds = dedup_minhash_lsh(sf_dir, jaccard_threshold)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    # repartition normalizes block schemas: upstream map_groups stages
+    # pass through zero-COLUMN empty blocks (Ray drops the schema of an
+    # empty block), and Arrow's hash join rejects a join input whose
+    # block lacks the key column — observed as an intermittent
+    # "No match ... for key field reference" on small corpora
+    edges = (
+        pairs_ds.map_batches(both_dirs, batch_format="pyarrow")
+        .repartition(nparts)
+        .materialize()
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("cluster_rep", pa.int64()),
+                    ("cluster_size", pa.int64()),
+                ]
+            ).empty_table()
+        )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        uniq = np.unique(t["u"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"node": pa.array(uniq, pa.int64()), "label": pa.array(uniq, pa.int64())}
+        )
+
+    # duplicate (node, node) rows across batches collapse in the first
+    # round's groupby-min — no distinct pass needed up front
+    labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab_v = labels.map_batches(
+            lambda t: t.rename_columns(["v", "label"]), batch_format="pyarrow"
+        )
+        msgs = edges.join(lab_v, "inner", nparts, on=("v",)).map_batches(
+            lambda t: pa.table({"node": t["u"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            # aggregate partitions can be empty (zero-column blocks) on
+            # small graphs — normalize before the next round's join
+            .repartition(nparts)
+            .materialize()
+        )
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+
+    sizes = (
+        labels.groupby("label")
+        .aggregate(Count(alias_name="cluster_size"))
+        .repartition(nparts)
+    )
+    out = labels.join(sizes, "inner", nparts, on=("label",))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["node"],
+                "cluster_rep": t["label"],
+                "cluster_size": pa.Array.from_pandas(
+                    t["cluster_size"].to_pandas().astype("int64")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

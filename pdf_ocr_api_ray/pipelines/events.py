@@ -242,7 +242,10 @@ def value_percentiles(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    q_ds = _quantize_values(sf_dir)
+    # three passes read the quantized projection — materialize it once
+    # (16 B/row; object-store spill covers the extreme case, and even
+    # then beats three reads + three quantize kernels)
+    q_ds = _quantize_values(sf_dir).materialize()
 
     # pass 1: per-type n/min/max → needed ranks
     meta = (

@@ -190,6 +190,12 @@ def _verify_join(make_sets, cand_m, threshold: float, num_partitions: int):
     except Exception:
         total_cpus = num_partitions
     num_partitions = max(2, min(num_partitions, total_cpus))
+    # normalize block schemas before joining: cand comes out of
+    # map_groups stages that pass through zero-column empty blocks
+    # (Ray drops empty-block schemas), which Arrow's hash join rejects
+    # intermittently; one repartition pass over the 16 B/pair rows is
+    # cheap insurance even at 10⁹ candidates
+    cand_m = cand_m.repartition(num_partitions)
     sets_ds = make_sets(None)
 
     def as_side(side: str):
