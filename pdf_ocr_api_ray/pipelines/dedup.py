@@ -44,7 +44,7 @@ import pandas as pd
 import pyarrow as pa
 
 from . import pairs as verify
-from ._util import distinct_pairs, read_parquet_clean, round_half_away
+from ._util import distinct_pairs, read_parquet_clean
 
 _TOKEN_RE = re.compile(r"\S+")
 
@@ -161,7 +161,6 @@ def _minhash_sig(tokens: list[str]) -> np.ndarray:
 
 
 JACCARD_THRESHOLD = 0.6
-_VERIFY_BUCKETS = 64
 
 
 def dedup_minhash_lsh(

@@ -242,23 +242,117 @@ def _kmeans_centroids(mat: np.ndarray, k: int = 16, iters: int = 8) -> np.ndarra
 IVF_CELLS = 16
 IVF_SAMPLE = 512
 
+_KMEANS_Q = 1e9  # fixed-point unit for distributed partial sums
 
-def ann_topk_ivf(sf_dir: str, n_probe_cells: int = 4):
+
+def _kmeans_centroids_distributed(
+    sf_dir: str, k: int = IVF_CELLS, iters: int = 4
+) -> np.ndarray:
+    """Distributed Lloyd iterations for the IVF coarse quantizer over
+    the WHOLE corpus — the 10⁹-vector training path (the default query
+    trains on a bounded sample, which is oracle-identical and cheap;
+    this is the quality option when the sample can't represent the
+    distribution). Per round: centroids broadcast once (``ray.put``),
+    each batch assigns its vectors and emits per-(cell, dim) partial
+    sums, one bounded groupby (k × dim keys) reduces them, the driver
+    renormalizes k centroids. Partial sums are accumulated in
+    FIXED-POINT int64 (1e-9 units): integer addition is associative,
+    so the trained centroids are bit-deterministic under any batch
+    order / parallelism — float partials would drift by summation
+    order and make cell assignments flicker run-to-run.
+
+    Init: the k smallest vec_ids' vectors (same rule as the sample
+    trainer) — deterministic. Empty cells keep their centroid."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    init = _smallest_by_vec_id(sf_dir, k)
+    cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    dim = cents.shape[1]
+
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cents_ref)
+            vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+            assign = np.argmax(vecs @ c.T, axis=1)
+            rows = []
+            for cell in np.unique(assign):
+                sub = vecs[assign == cell]
+                # spherical k-means renormalizes, so only the SUM is
+                # needed (no count). Quantize per VECTOR, then sum the
+                # int64s — integer addition is associative AND the
+                # per-vector rounding is independent of how vectors
+                # land in batches, so the total is invariant under any
+                # block partitioning (per-batch quantization would tie
+                # the rounding error to batch boundaries)
+                q = np.floor(sub * _KMEANS_Q + 0.5).astype(np.int64).sum(axis=0)
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "cell": np.full(dim, cell, dtype=np.int64),
+                            "dim": np.arange(dim, dtype=np.int64),
+                            "qsum": q,
+                        }
+                    )
+                )
+            if not rows:
+                return pd.DataFrame(
+                    {
+                        "cell": pd.Series([], dtype="int64"),
+                        "dim": pd.Series([], dtype="int64"),
+                        "qsum": pd.Series([], dtype="int64"),
+                    }
+                )
+            return pd.concat(rows, ignore_index=True)
+
+        agg = (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby(["cell", "dim"])
+            .aggregate(Sum("qsum", alias_name="s"))
+            .to_pandas()
+        )
+        new = cents.copy()
+        for cell, g in agg.groupby("cell"):
+            g = g.sort_values("dim")
+            v = g["s"].to_numpy(np.float64) / _KMEANS_Q
+            nrm = np.linalg.norm(v)
+            if nrm > 1e-12:
+                new[int(cell)] = v / nrm
+        cents = new
+    return cents
+
+
+def ann_topk_ivf(sf_dir: str, n_probe_cells: int = 4, train: str = "sample"):
     """IVF variant of the ANN scale path: a coarse quantizer (spherical
-    k-means over a small deterministic sample, trained driver-side and
-    broadcast) partitions the corpus into cells; each probe scans only
-    its ``n_probe_cells`` nearest cells. Same planted-duplicate corpus
-    and output contract as ``ann_topk_lsh`` — an exact copy of a probe
-    is assigned to the probe's own nearest cell, so the planted top-k
-    is recovered deterministically and the brute-force SQL oracle
-    applies unchanged."""
+    k-means, broadcast) partitions the corpus into cells; each probe
+    scans only its ``n_probe_cells`` nearest cells. Same
+    planted-duplicate corpus and output contract as ``ann_topk_lsh`` —
+    an exact copy of a probe is assigned to the probe's own nearest
+    cell, so the planted top-k is recovered deterministically and the
+    brute-force SQL oracle applies unchanged (under EITHER trainer:
+    the output contract doesn't depend on centroid quality).
+
+    ``train``: "sample" (default) trains driver-side on the IVF_SAMPLE
+    smallest vec_ids — bounded, cheap, the right call when a sample
+    represents the distribution; "full" runs distributed fixed-point
+    Lloyd iterations over the whole corpus
+    (``_kmeans_centroids_distributed``) — the 10⁹-vector option."""
     probe_ids, probes = _probe_matrix(sf_dir)
-    # k-means training sample: the IVF_SAMPLE smallest vec_ids,
-    # selected distributed (no driver full-table read)
-    sample = _smallest_by_vec_id(sf_dir, IVF_SAMPLE)
-    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
-    cents = _kmeans_centroids(smat, IVF_CELLS)
+    if train == "full":
+        cents = _kmeans_centroids_distributed(sf_dir, IVF_CELLS)
+    else:
+        # k-means training sample: the IVF_SAMPLE smallest vec_ids,
+        # selected distributed (no driver full-table read)
+        sample = _smallest_by_vec_id(sf_dir, IVF_SAMPLE)
+        smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+        smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+        cents = _kmeans_centroids(smat, IVF_CELLS)
 
     # per probe: the n_probe_cells nearest cells (ties by cell id)
     sims_pc = probes @ cents.T

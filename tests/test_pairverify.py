@@ -120,3 +120,43 @@ def test_empty_candidates_keep_schema(ray_session, tmp_path):
     # Ray limitation, which is exactly why the pipeline returns a
     # schema-carrying Arrow dataset here)
     assert out.schema().names == ["id_a", "id_b", "jaccard"]
+
+
+def test_mass_dup_clique_both_routings(ray_session, tmp_path):
+    """A 60-copy duplicated text (C(60,2)+ pairs through one LSH bucket
+    per band): broadcast and join routings return the identical
+    1770-pair clique at J = 1 — the mass-duplication regime where the
+    O(k·B) set-shipping and candidate dedup matter."""
+    from pdf_ocr_api_ray.pipelines.dedup import dedup_minhash_lsh
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(1, 61)]  # ids 1..60 (no %5/%7 overlap issues matter)
+    rows += [(1000 + i, f"unique{i} filler{i} pad{i} other{i}") for i in range(10)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    base = _canon(dedup_minhash_lsh(sf))
+    joined = _canon(dedup_minhash_lsh(sf, max_broadcast_pairs=0))
+    # augmentation grows the clique: 60 originals + exact copies
+    # (id%5==0 → 12) + mutated copies (id%7==0 → 8, first token doubled,
+    # shingle J = 8/9 ≥ 0.6) = an 80-member component; every C(80,2)
+    # pair must be confirmed through both routings
+    clique = (
+        list(range(1, 61))
+        + [d + 1_000_000 for d in range(1, 61) if d % 5 == 0]
+        + [d + 2_000_000 for d in range(1, 61) if d % 7 == 0]
+    )
+    got = set(zip(base["id_a"], base["id_b"]))
+    for i, a in enumerate(sorted(clique)):
+        for b in sorted(clique)[i + 1 :]:
+            assert (a, b) in got, (a, b)
+    assert len(base) >= len(clique) * (len(clique) - 1) // 2
+    pd.testing.assert_frame_equal(base, joined)

@@ -162,3 +162,37 @@ def test_simhash_mass_duplicate_block_no_blowup(ray_session, tmp_path):
     assert len(df) >= 1200 * 1199 // 2
     assert (df["hamming"] <= 3).all()
     assert elapsed < 120, f"hot-segment scan took {elapsed:.1f}s"
+
+
+def test_ivf_distributed_training_deterministic(ray_session):
+    """Fixed-point Lloyd partials: bit-identical centroids across runs
+    (integer accumulation is associative; per-vector quantization makes
+    the sums invariant under block partitioning)."""
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.similarity import _kmeans_centroids_distributed
+
+    a = _kmeans_centroids_distributed("/root/testdata/sf0.001", iters=2)
+    b = _kmeans_centroids_distributed("/root/testdata/sf0.001", iters=2)
+    assert np.array_equal(a, b)
+    assert a.shape[0] == 16 and np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_ivf_full_training_same_output_contract(ray_session):
+    """ann_topk_ivf(train='full') still recovers the planted top-k —
+    the output contract is centroid-quality-independent."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.similarity import ann_topk_ivf
+
+    base = (
+        ann_topk_ivf("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["probe_id", "rank"], ignore_index=True)
+    )
+    full = (
+        ann_topk_ivf("/root/testdata/sf0.001", train="full")
+        .to_pandas()
+        .sort_values(["probe_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(base, full)
