@@ -1,0 +1,81 @@
+"""Stratified sampling + per-group top-k (pipelines/sampling.py) vs
+DuckDB oracles built from the identical md5 / window arithmetic."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return c
+
+
+def test_sample_stratified_matches_sql(ray_session, con):
+    from pdf_ocr_api_ray.oracles import _md5_le64
+    from pdf_ocr_api_ray.pipelines.sampling import sample_stratified
+
+    got = (
+        sample_stratified(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    id_expr = "'samp|'||CAST(doc_id AS VARCHAR)"
+    draw = f"({_md5_le64(id_expr)} % 4294967296)"
+    exp = con.execute(
+        f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {draw} < (CASE WHEN lang = 'en' THEN 0.5
+                             WHEN lang = 'pt' THEN 0.3
+                             ELSE 0.2 END) * 4294967296
+        ORDER BY doc_id
+        """
+    ).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64"}), exp.astype({"doc_id": "int64"})
+    )
+    # stratification is real: per-lang keep rates track the fractions
+    all_langs = con.execute("SELECT lang, count(*) n FROM documents GROUP BY lang").df()
+    rates = got.groupby("lang").size() / all_langs.set_index("lang")["n"]
+    assert abs(rates.get("en", 0) - 0.5) < 0.15
+
+
+def test_group_topk_matches_sql(ray_session, con):
+    from pdf_ocr_api_ray.pipelines.sampling import group_topk
+
+    got = (
+        group_topk(SF, k=5)
+        .to_pandas()
+        .sort_values(["lang", "rank"], ignore_index=True)
+        .astype({"rank": "int64", "doc_id": "int64", "n_chars": "int64"})
+    )
+    exp = con.execute(
+        """
+        SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents
+        ) WHERE rank <= 5
+        ORDER BY lang, rank
+        """
+    ).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp.astype({"rank": "int64"}))
+
+
+def test_sample_deterministic_across_runs(ray_session):
+    from pdf_ocr_api_ray.pipelines.sampling import sample_stratified
+
+    a = sample_stratified(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = sample_stratified(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
