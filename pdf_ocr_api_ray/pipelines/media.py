@@ -1,11 +1,16 @@
 """Multimodal column plumbing (image/audio treated as opaque binary +
-typed metadata) with a STUBBED decode step.
+typed metadata): a STUBBED decode stage for codec-requiring formats
+plus a REAL pure-numpy PPM (P6) decode path.
 
-The container has no image/audio codecs, so the decode is a
-deterministic fake behind ``MediaDecoder`` (clearly marked); the
-Ray-side plumbing — actor-pool stage, schema, batch sizing for large
-binary payloads — is real and tested. A production deployment swaps
-``_decode_stub`` for a real decoder (PIL/ffmpeg) without touching the
+The container has no image/audio codec libraries, so ``MediaDecoder``
+is a deterministic fake (clearly marked) standing in for PIL/ffmpeg —
+the Ray-side plumbing (actor-pool stage, schema, batch sizing for
+large binary payloads) is real and tested. For UNCOMPRESSED formats
+no codec is needed: ``decode_ppm``/``PpmDecoder``/``media_decode_ppm``
+genuinely parse binary image payloads (magic + comment-tolerant header
+scan + payload validation), extract pixel features, and resize —
+bytes in, scalars out, malformed rows quarantined. A production
+deployment adds codecs next to the PPM branch without touching the
 pipeline shape (cf. reference's by-reference assets,
 src/externalstorage/*).
 """
@@ -100,6 +105,173 @@ def media_features(sf_dir: str):
         MediaDecoder,
         batch_format="pandas",
         batch_size=256,  # small batches: real payloads are MBs each
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+# ---------- REAL decode path: PPM (P6), pure numpy ----------
+#
+# The container has no codec libraries, but PPM (Netpbm P6) is an
+# uncompressed format a few dozen lines of numpy parse for real —
+# so the engine carries one genuinely real decode path end-to-end
+# (bytes → header parse → pixel array → features → resize), with the
+# stub retained only for formats that need external codecs.
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary P6 PPM bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(data: bytes):
+    """Binary P6 PPM bytes → (h, w, 3) uint8 array. Real parsing:
+    magic check, whitespace/comment-tolerant header scan, payload
+    length validation. Raises ValueError on malformed input."""
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 ints (w, h, maxval), '#' comments legal
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    need = w * h * 3
+    payload = data[pos : pos + need]
+    if len(payload) != need:
+        raise ValueError(f"payload {len(payload)} != {need}")
+    import numpy as np
+
+    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_nearest(img, target_w: int):
+    """Aspect-preserving nearest-neighbor resize — integer index
+    mapping (idx = floor(i * src / dst)), deterministic everywhere."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    out_h = max(1, int(np.floor(h * target_w / w + 0.5)))
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(target_w, dtype=np.int64) * w) // target_w
+    return img[ys[:, None], xs[None, :], :]
+
+
+def synth_ppm_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic PPM payload for a corpus row (the testdata ships
+    no media bytes): constant-color image, dims from the row scalars —
+    the same derivations the SQL oracle reproduces. The DECODER does
+    not know any of this; it parses the bytes like any PPM."""
+    import numpy as np
+
+    w = 32 + (n_chars % 97)
+    h = 16 + (doc_id % 53)
+    rgb = np.array(
+        [(doc_id * 7) % 256, (doc_id * 13) % 256, (n_chars * 31) % 256],
+        dtype=np.uint8,
+    )
+    return encode_ppm(np.broadcast_to(rgb, (h, w, 3)))
+
+
+class PpmDecoder:
+    """REAL actor-pool decode stage: parse each row's binary payload,
+    emit parsed dims + per-channel means + resized dims + a resized
+    checksum. Malformed payloads are quarantined (ok = False row), not
+    job failures — the reference's per-job error status at row
+    granularity."""
+
+    def __init__(self, target_w: int = 64) -> None:
+        self.target_w = target_w
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for doc_id, payload in zip(df["doc_id"], df["payload"]):
+            try:
+                img = decode_ppm(payload)
+                small = resize_nearest(img, self.target_w)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "ok": True,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_r": int(img[:, :, 0].mean()),
+                        "mean_g": int(img[:, :, 1].mean()),
+                        "mean_b": int(img[:, :, 2].mean()),
+                        "out_w": small.shape[1],
+                        "out_h": small.shape[0],
+                        "resized_sum": int(small.astype(np.int64).sum()),
+                    }
+                )
+            except ValueError:
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "ok": False,
+                        "width": 0,
+                        "height": 0,
+                        "mean_r": 0,
+                        "mean_g": 0,
+                        "mean_b": 0,
+                        "out_w": 0,
+                        "out_h": 0,
+                        "resized_sum": 0,
+                    }
+                )
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            if c not in ("doc_id", "ok"):
+                out[c] = out[c].astype("int64")
+        return out
+
+
+def media_decode_ppm(sf_dir: str, target_w: int = 64):
+    """Real-decode pipeline: synthesize the binary media column
+    (constant-color PPM per doc — testdata carries no media bytes),
+    then an actor-pool stage PARSES the bytes (header scan, payload
+    validation), extracts features, and resizes. Payloads live only
+    inside the stage (bytes in → scalars out); batch_size is small
+    because each row carries a real image payload."""
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def attach_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "payload": [
+                    synth_ppm_payload(int(d), int(n))
+                    for d, n in zip(df["doc_id"], df["n_chars"])
+                ],
+            }
+        )
+
+    return ds.map_batches(attach_payload, batch_format="pandas").map_batches(
+        PpmDecoder,
+        fn_constructor_kwargs={"target_w": target_w},
+        batch_format="pandas",
+        batch_size=128,
         concurrency=(1, 4),
         num_cpus=1,
     )
