@@ -28,15 +28,23 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    # accept everything rd.read_parquet accepts: a single file, a
-    # sharded directory, or a list of either — the schema comes from
-    # the first fragment (pq.read_schema only handles a lone file)
+    # accept rd.read_parquet's LOCAL path forms: a single file, a
+    # sharded directory (flat or nested/hive layout), or a list of
+    # either — the schema comes from the first fragment found
+    # (pq.read_schema only handles a lone file). Remote URIs are out of
+    # scope for this sandbox engine.
     first = path[0] if isinstance(path, (list, tuple)) else path
     if os.path.isdir(first):
-        frags = sorted(f for f in os.listdir(first) if f.endswith(".parquet"))
-        if not frags:
+        frag = None
+        for root, dirs, files in os.walk(first):
+            dirs.sort()
+            hits = sorted(f for f in files if f.endswith(".parquet"))
+            if hits:
+                frag = os.path.join(root, hits[0])
+                break
+        if frag is None:
             raise FileNotFoundError(f"no .parquet fragments under {first!r}")
-        first = os.path.join(first, frags[0])
+        first = frag
     schema = pq.read_schema(first).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
@@ -72,6 +80,20 @@ def distinct_pairs(ds, keep_min: str | None = None, num_buckets: int = 256):
         .groupby("pb")
         .map_groups(distinct_bucket, batch_format="pandas")
     )
+
+
+def clamped_join_partitions(requested: int) -> int:
+    """``Dataset.join`` partition count bounded by cluster CPUs: join
+    aggregator actors hold slots for the whole exchange, and more
+    partitions than CPUs starves/deadlocks a small (e.g. 4-CPU local)
+    cluster — measured. On a real cluster the requested count stands."""
+    import ray
+
+    try:
+        total_cpus = int(ray.cluster_resources().get("CPU", requested))
+    except Exception:
+        total_cpus = requested
+    return max(2, min(requested, total_cpus))
 
 
 def round_half_away(s: pd.Series, ndigits: int) -> pd.Series:

@@ -571,7 +571,7 @@ def ngram_jaccard_pairs(
 def dedup_clusters(
     sf_dir: str,
     jaccard_threshold: float = JACCARD_THRESHOLD,
-    max_rounds: int = 8,
+    max_rounds: int = 20,
     num_join_partitions: int = 64,
 ):
     """Near-dup CLUSTERING: connected components over the confirmed
@@ -594,15 +594,12 @@ def dedup_clusters(
     rows); tests/test_dedup_clusters.py pins it against a DuckDB
     recursive-CTE transitive closure from first principles.
     """
-    import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Min, Sum
 
-    try:
-        total_cpus = int(ray.cluster_resources().get("CPU", num_join_partitions))
-    except Exception:
-        total_cpus = num_join_partitions
-    nparts = max(2, min(num_join_partitions, total_cpus))
+    from ._util import clamped_join_partitions
+
+    nparts = clamped_join_partitions(num_join_partitions)
 
     pairs_ds = dedup_minhash_lsh(sf_dir, jaccard_threshold)
 
@@ -647,6 +644,7 @@ def dedup_clusters(
     # round's groupby-min — no distinct pass needed up front
     labels = edges.map_batches(init_labels, batch_format="pyarrow")
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         lab_v = labels.map_batches(
             lambda t: t.rename_columns(["v", "label"]), batch_format="pyarrow"
@@ -666,8 +664,19 @@ def dedup_clusters(
         )
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # min labels move one hop per round, so a component whose
+        # diameter exceeds max_rounds would come back SPLIT — silently
+        # wrong clusters. Refuse instead (chains longer than the
+        # default bound are pathological; raise max_rounds to cover them).
+        raise RuntimeError(
+            f"label propagation did not reach its fixpoint within "
+            f"{max_rounds} rounds — a near-dup component has diameter "
+            f"> {max_rounds}; re-run with a larger max_rounds"
+        )
 
     sizes = (
         labels.groupby("label")

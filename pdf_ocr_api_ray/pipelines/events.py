@@ -382,10 +382,15 @@ def value_percentiles(sf_dir: str):
             vhi = float(rank_value(et, min(i + 1, n - 1)))
             out[col] = _np_lerp(vlo, vhi, frac) / 1e6
         rows.append(out)
+    import ray.data as rd
+
     res = pd.DataFrame(rows)
     res["p50"] = round_half_away(res["p50"], 4)
     res["p95"] = round_half_away(res["p95"], 4)
-    return res
+    # uniform Dataset return type across all queries() entries (a
+    # driver consuming results via Dataset methods must not hit one
+    # pandas odd-one-out)
+    return rd.from_pandas(res)
 
 
 def _tdigest_compress(means: np.ndarray, weights: np.ndarray, compression: int):

@@ -154,14 +154,17 @@ def decode_ppm(data: bytes):
         fields.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        # a zero/negative dimension passes the length check vacuously
+        # (0 == 0) and then crashes downstream (resize divides by w) —
+        # reject here so PpmDecoder quarantines the row
+        raise ValueError(f"invalid dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
     need = w * h * 3
     payload = data[pos : pos + need]
     if len(payload) != need:
         raise ValueError(f"payload {len(payload)} != {need}")
-    import numpy as np
-
     return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
 
 

@@ -91,8 +91,13 @@ def verify_jaccard_pairs(
 def _verify_broadcast(make_sets, cand_m, threshold: float):
     import ray
 
+    # NO silent re-dedup here: cand must already be distinct (see
+    # docstring) — repairing it only in broadcast mode would let a
+    # non-distinct caller pass every small-scale test and emit
+    # duplicate confirmed pairs the first time candidate volume crosses
+    # into join mode. Both routings now fail alike on bad input.
     cand_pd = cand_m.to_pandas()
-    pairs = np.unique(cand_pd[["id_a", "id_b"]].to_numpy(np.int64), axis=0)
+    pairs = cand_pd[["id_a", "id_b"]].to_numpy(np.int64)
 
     # routing index: doc_id → [(pair_idx, side)] — ids only, broadcast once
     roles: dict[int, list[tuple[int, int]]] = {}
@@ -179,24 +184,20 @@ def _verify_join(make_sets, cand_m, threshold: float, num_partitions: int):
     travel as little-endian uint64 binary blobs: Arrow's hash join
     rejects list-typed non-key columns, and a blob is also the denser
     wire format (no offsets child array)."""
-    import ray
+    from ._util import clamped_join_partitions
 
-    # join aggregator actors hold slots for the whole exchange — more
-    # partitions than cluster CPUs starves/deadlocks a small session
-    # (observed: num_partitions=64 hangs a 4-CPU local cluster); on a
-    # real cluster the requested count stands
-    try:
-        total_cpus = int(ray.cluster_resources().get("CPU", num_partitions))
-    except Exception:
-        total_cpus = num_partitions
-    num_partitions = max(2, min(num_partitions, total_cpus))
+    num_partitions = clamped_join_partitions(num_partitions)
     # normalize block schemas before joining: cand comes out of
     # map_groups stages that pass through zero-column empty blocks
     # (Ray drops empty-block schemas), which Arrow's hash join rejects
     # intermittently; one repartition pass over the 16 B/pair rows is
     # cheap insurance even at 10⁹ candidates
     cand_m = cand_m.repartition(num_partitions)
-    sets_ds = make_sets(None)
+    # materialize the hash sets ONCE: both join sides consume them, and
+    # an unmaterialized lineage would re-run the corpus scan + set
+    # hashing (the dominant kernel) twice — on exactly the path built
+    # for extreme candidate volume. Object-store spill covers the size.
+    sets_ds = make_sets(None).materialize()
 
     def as_side(side: str):
         def pack(t: pa.Table) -> pa.Table:

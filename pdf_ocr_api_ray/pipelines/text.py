@@ -41,6 +41,36 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _lang_scores(lower: pd.Series) -> tuple[dict[str, pd.Series], pd.Series]:
+    """Per-language marker scores + first-in-order argmax — the ONE
+    language-ID kernel, shared by the fused ``doc_stats`` driver query
+    and the standalone ``lang_id`` op (both must match the same SQL
+    oracle; duplicating the tie-break loop invites silent de-sync)."""
+    out: dict[str, pd.Series] = {}
+    scores = []
+    for lang, rex in _LANG_RES:
+        s = lower.str.count(rex).astype("int64")
+        out[f"score_{lang}"] = s
+        scores.append((lang, s))
+    best = scores[0][1].copy() * 0 - 1
+    pred = pd.Series([""] * len(lower), index=lower.index)
+    for lang, s in scores:  # first-in-order wins ties
+        mask = s > best
+        pred = pred.where(~mask, lang)
+        best = best.where(~mask, s)
+    return out, pred
+
+
+def _quality_cols(lower: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """(stop_ratio, quality) — the ONE quality-score kernel, shared by
+    the fused ``doc_stats`` and the standalone ``quality_score``."""
+    toks1 = lower.str.count(_TOKEN_RE).clip(lower=1)
+    stops = lower.str.count(STOPWORDS_RE)
+    stop_ratio = round_half_away(stops / toks1, 4)
+    quality = round_half_away(0.5 * stop_ratio + 0.5 * (toks1 / 100.0).clip(upper=1.0), 4)
+    return stop_ratio, quality
+
+
 def doc_stats(sf_dir: str):
     """Per-doc text-analysis profile — ONE scan and one vectorized
     map_batches computing the full per-document projection: token/char
@@ -68,26 +98,10 @@ def doc_stats(sf_dir: str):
             "n_chars": chars.astype("int64"),
             "avg_word_len": round_half_away(nonws / toks1, 4),
         }
-        # language-ID marker scores + first-in-order argmax
-        scores = []
-        for lang, rex in _LANG_RES:
-            s = lower.str.count(rex).astype("int64")
-            out[f"score_{lang}"] = s
-            scores.append((lang, s))
-        best = scores[0][1].copy() * 0 - 1
-        pred = pd.Series([""] * len(df), index=df.index)
-        for lang, s in scores:  # first-in-order wins ties
-            mask = s > best
-            pred = pred.where(~mask, lang)
-            best = best.where(~mask, s)
+        scores, pred = _lang_scores(lower)
+        out.update(scores)
         out["predicted_lang"] = pred
-        # quality score (stopword ratio + length term)
-        stops = lower.str.count(STOPWORDS_RE)
-        stop_ratio = round_half_away(stops / toks1, 4)
-        out["stop_ratio"] = stop_ratio
-        out["quality"] = round_half_away(
-            0.5 * stop_ratio + 0.5 * (toks1 / 100.0).clip(upper=1.0), 4
-        )
+        out["stop_ratio"], out["quality"] = _quality_cols(lower)
         # BPE-style pre-tokenizer counts
         out["n_bpe_tokens"] = df["text"].str.count(_BPE_RE).astype("int64")
         out["n_word_tokens"] = df["text"].str.count(r"[A-Za-z]+").astype("int64")
@@ -105,19 +119,9 @@ def lang_id(sf_dir: str):
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        lower = df["text"].str.lower()
         out = {"doc_id": df["doc_id"]}
-        scores = []
-        for lang, rex in _LANG_RES:
-            s = lower.str.count(rex).astype("int64")
-            out[f"score_{lang}"] = s
-            scores.append((lang, s))
-        best = scores[0][1].copy() * 0 - 1
-        pred = pd.Series([""] * len(df), index=df.index)
-        for lang, s in scores:  # first-in-order wins ties
-            mask = s > best
-            pred = pred.where(~mask, lang)
-            best = best.where(~mask, s)
+        scores, pred = _lang_scores(df["text"].str.lower())
+        out.update(scores)
         out["predicted_lang"] = pred
         return pd.DataFrame(out)
 
@@ -132,16 +136,13 @@ def quality_score(sf_dir: str):
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         lower = df["text"].str.lower()
-        toks = lower.str.count(_TOKEN_RE).clip(lower=1)
-        stops = lower.str.count(STOPWORDS_RE)
-        stop_ratio = round_half_away(stops / toks, 4)
-        len_term = (toks / 100.0).clip(upper=1.0)
+        stop_ratio, quality = _quality_cols(lower)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
                 "n_tokens": lower.str.count(_TOKEN_RE).astype("int64"),
                 "stop_ratio": stop_ratio,
-                "quality": round_half_away(0.5 * stop_ratio + 0.5 * len_term, 4),
+                "quality": quality,
             }
         )
 

@@ -116,3 +116,33 @@ def test_no_edges_empty_schema(ray_session, tmp_path):
     out = dedup_clusters(str(tmp_path))
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "cluster_rep", "cluster_size"]
+
+
+def test_long_chain_converges_and_short_budget_refuses(ray_session, tmp_path):
+    """A 12-doc chain (diameter 11): the default round budget must
+    converge to ONE component; an insufficient budget must RAISE
+    rather than silently return split clusters."""
+    from pdf_ocr_api_ray.pipelines.dedup import dedup_clusters
+
+    words = [f"tok{i:03d}" for i in range(60)]
+    texts = [" ".join(words[s : s + 20]) for s in range(0, 36, 3)]  # 12 windows
+    ids = [101 + 2 * i for i in range(12)]  # odd ids: no %5/%7... keep simple
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    out = dedup_clusters(sf).to_pandas()
+    # augmentation may attach copies of ids divisible by 5/7 — every
+    # original chain doc must share ONE representative regardless
+    reps = out[out["doc_id"].isin(ids)]["cluster_rep"].unique()
+    assert len(reps) == 1 and reps[0] == min(ids)
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup_clusters(sf, max_rounds=3)

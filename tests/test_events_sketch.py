@@ -42,7 +42,7 @@ def test_exact_path_matches_np_percentile(ray_session):
     from pdf_ocr_api_ray.pipelines._util import round_half_away
     from pdf_ocr_api_ray.pipelines.events import value_percentiles
 
-    out = value_percentiles(SF).sort_values("event_type", ignore_index=True)
+    out = value_percentiles(SF).to_pandas().sort_values("event_type", ignore_index=True)
 
     ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"]).to_pandas()
     ev["value_u"] = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
@@ -72,7 +72,7 @@ def test_exact_path_massive_duplication_in_one_bin(ray_session, tmp_path):
     vals = np.concatenate([np.full(10_000, 42.0), rng.uniform(0, 100, 500)])
     ets = ["dup"] * len(vals)
     sf = _write_events(tmp_path, ets, vals)
-    out = value_percentiles(sf)
+    out = value_percentiles(sf).to_pandas()
     v_u = np.sort(np.floor(vals * 1e6 + 0.5).astype(np.int64))
     assert out.loc[0, "p50"] == pytest.approx(np.percentile(v_u, 50) / 1e6, abs=1e-4)
     assert out.loc[0, "p95"] == pytest.approx(np.percentile(v_u, 95) / 1e6, abs=1e-4)

@@ -55,3 +55,22 @@ def test_read_table_column_pruning_jsonl(ray_session, tmp_path, docs):
             f.write(json.dumps({**d, "extra": 1}, ensure_ascii=False) + "\n")
     ds = read_table(jl_path, columns=["doc_id", "spans"])
     assert set(ds.schema().names) == {"doc_id", "spans"}
+
+
+def test_read_parquet_clean_nested_directory(ray_session, tmp_path):
+    """Nested/hive shard layouts (subdirectories only at the top
+    level) must resolve a schema like rd.read_parquet does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines._util import read_parquet_clean
+
+    sub = tmp_path / "part=0"
+    sub.mkdir()
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["x", "y"])}),
+        str(sub / "f.parquet"),
+    )
+    ds = read_parquet_clean(str(tmp_path))
+    assert ds.count() == 2
+    assert sorted(ds.schema().names) == ["a", "b"]

@@ -103,3 +103,31 @@ def test_malformed_payload_quarantined(ray_session):
     out = dec(df)
     assert out["ok"].tolist() == [False, True]
     assert out.loc[1, "width"] == 2 and out.loc[1, "out_w"] == 8
+
+
+def test_zero_dimension_payload_quarantined(ray_session):
+    """Zero-width/height headers pass the length check vacuously
+    (0 == 0) — they must be REJECTED at decode so the pipeline
+    quarantines the row instead of dying in resize (code-review
+    repro: ZeroDivisionError on w=0, IndexError on h=0)."""
+    from pdf_ocr_api_ray.pipelines.media import PpmDecoder, decode_ppm
+
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P6\n0 16\n255\n")
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P6\n5 0\n255\n")
+
+    dec = PpmDecoder(target_w=8)
+    out = dec(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [
+                    b"P6\n0 16\n255\n",
+                    b"P6\n5 0\n255\n",
+                    b"P6\n1 1\n255\n" + bytes(3),
+                ],
+            }
+        )
+    )
+    assert out["ok"].tolist() == [False, False, True]
