@@ -92,3 +92,53 @@ def group_topk(sf_dir: str, k: int = 5):
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def pack_sequences(sf_dir: str, max_tokens: int = 256, num_buckets: int = 64):
+    """Greedy context-window packing — the training-data step that
+    concatenates documents into fixed token budgets (one bin ≈ one
+    training sequence). Global greedy packing is inherently sequential,
+    so the scalable contract is bucket-local: docs hash to
+    ``doc_id % num_buckets`` buckets, and each bucket packs its docs in
+    doc_id order (first-fit: a doc joins the open bin if it fits, else
+    opens a new one; an oversized doc gets its own bin). Deterministic
+    under any parallelism — bucket identity and fill order are pure
+    functions of doc_id. Output: (doc_id, bucket, bin_id, n_tokens).
+
+    The DuckDB oracle replays the identical fill rule with a recursive
+    CTE (tests/test_sampling.py)."""
+    import numpy as np
+    import re
+
+    token_re = re.compile(r"\S+")
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "bucket": (df["doc_id"] % num_buckets).astype("int64"),
+                "n_tokens": df["text"].str.count(token_re).astype("int64"),
+            }
+        )
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        bins = np.empty(len(n), dtype=np.int64)
+        fill = 0
+        b = 0
+        for i, x in enumerate(n):
+            if i > 0 and fill + x > max_tokens:
+                b += 1
+                fill = 0
+            fill += x
+            bins[i] = b
+        g["bin_id"] = bins
+        return g[["doc_id", "bucket", "bin_id", "n_tokens"]]
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )

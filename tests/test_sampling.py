@@ -79,3 +79,47 @@ def test_sample_deterministic_across_runs(ray_session):
     a = sample_stratified(SF).to_pandas().sort_values("doc_id", ignore_index=True)
     b = sample_stratified(SF).to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_matches_recursive_sql(ray_session, con):
+    from pdf_ocr_api_ray.pipelines.sampling import pack_sequences
+
+    got = (
+        pack_sequences(SF, max_tokens=256, num_buckets=64)
+        .to_pandas()
+        .sort_values(["bucket", "doc_id"], ignore_index=True)
+        .astype("int64")
+    )
+    exp = con.execute(
+        r"""
+        WITH RECURSIVE ord AS (
+            SELECT doc_id, doc_id % 64 AS bucket,
+                   len(regexp_extract_all(text, '\S+')) AS n,
+                   row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack(bucket, rn, doc_id, n, bin_id, fill) AS (
+            SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT), n
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.bucket, o.rn, o.doc_id, o.n,
+                   CASE WHEN p.fill + o.n <= 256 THEN p.bin_id ELSE p.bin_id + 1 END,
+                   CASE WHEN p.fill + o.n <= 256 THEN p.fill + o.n ELSE o.n END
+            FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+        )
+        SELECT doc_id, bucket, bin_id, CAST(n AS BIGINT) AS n_tokens
+        FROM pack ORDER BY bucket, doc_id
+        """
+    ).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+    # packing invariant: every bin's fill <= max OR it holds one oversized doc
+    fills = got.groupby(["bucket", "bin_id"]).agg(
+        total=("n_tokens", "sum"), cnt=("n_tokens", "count")
+    )
+    bad = fills[(fills["total"] > 256) & (fills["cnt"] > 1)]
+    # a bin may exceed the budget only via the doc that OPENED it being
+    # oversized; any multi-doc bin over budget would be a fill-rule bug
+    for (bkt, b), row in bad.iterrows():
+        members = got[(got["bucket"] == bkt) & (got["bin_id"] == b)].sort_values("doc_id")
+        assert members.iloc[0]["n_tokens"] > 256, (bkt, b)
