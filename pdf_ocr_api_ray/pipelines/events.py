@@ -22,7 +22,6 @@ def _t(sf_dir: str, name: str) -> str:
 def events_daily(sf_dir: str):
     """Tumbling daily window per event_type (day as string so the
     grouping key is engine-agnostic)."""
-    import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
     ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
@@ -60,7 +59,6 @@ def running_total(sf_dir: str):
     Values are quantized to integer micro-units before the scan so the
     cumulative sums are exact integers — bit-identical to the SQL
     window regardless of accumulation tree shape."""
-    import ray.data as rd
 
     ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
 
@@ -94,8 +92,6 @@ def systematic_sample(sf_dir: str, k: int = 17):
     with a seed is engine-specific; a key-modulo sample is portable and
     restartable)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
     ds = read_parquet_clean(
@@ -128,7 +124,6 @@ def union_parties(sf_dir: str):
     """Set-op coverage: union two keyed tables (customers ∪ suppliers)
     with a side tag and aggregate — ``Dataset.union`` + groupby."""
     import pyarrow as pa
-    import ray.data as rd
     from ray.data.aggregate import Count
 
     cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_nationkey"]).map_batches(
@@ -159,20 +154,26 @@ def json_props_stats(sf_dir: str):
     JSON.parse of the GPT reply, gpt/extractHeader.js:121): parse the
     ``props`` JSON column, extract ``k``, and aggregate per event type
     — vectorized pandas json load per batch; DuckDB json_extract oracle."""
-    import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
     ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "props"])
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized scalar-field extraction (the props values are flat
-        # {"k": int} objects; a full json parse per row is pure overhead)
-        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        # {"k": int} objects; a full json parse per row is pure overhead).
+        # Rows whose props is NULL / lacks "k" extract to NaN and are
+        # SKIPPED by Sum/Max but still counted — matching the SQL
+        # oracle's json_extract→CAST NULL semantics instead of crashing
+        # the task on the first malformed row
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce",
+        )
         df = df[["event_type"]].copy()
-        df["k"] = k.astype("int64")
+        df["k"] = k.astype("float64")
         return df
 
-    return (
+    agg = (
         ds.map_batches(extract, batch_format="pandas")
         .groupby("event_type")
         .aggregate(
@@ -181,6 +182,14 @@ def json_props_stats(sf_dir: str):
             Max("k", alias_name="max_k"),
         )
     )
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        # integer-valued sums/maxes (float only for NULL tolerance)
+        df["sum_k"] = df["sum_k"].astype("int64")
+        df["max_k"] = df["max_k"].astype("int64")
+        return df
+
+    return agg.map_batches(to_int, batch_format="pandas")
 
 
 _PCT_NBINS = 4096
@@ -257,6 +266,17 @@ def value_percentiles(sf_dir: str):
         )
         .to_pandas()
     )
+    if meta.empty:
+        # empty events table: every later step would KeyError on the
+        # column-less frames — return the schema-carrying empty result
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("event_type", pa.string()), ("p50", pa.float64()), ("p95", pa.float64())]
+            ).empty_table()
+        )
     info: dict[str, dict] = {}
     for _, row in meta.iterrows():
         n, mn, mx = int(row["n"]), int(row["mn"]), int(row["mx"])
@@ -450,7 +470,6 @@ def value_percentiles_sketch(sf_dir: str, compression: int = 256):
     the empirical rank-error bound); ``value_percentiles`` is the
     exact multi-pass twin and the driver-verified query. Same output
     schema (event_type, p50, p95)."""
-    import ray.data as rd
 
     q_ds = _quantize_values(sf_dir)
 
@@ -500,7 +519,6 @@ def events_hopping(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
     exchange carries quantized partial rows, never raw events twice.
     Output: (event_type, window_start epoch-seconds, n_events,
     sum_value)."""
-    import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
     k = window_s // hop_s
@@ -541,7 +559,6 @@ SESSION_GAP_MIN = 30
 def sessionize(sf_dir: str):
     """Session windows: a >30-minute gap starts a new session. Output:
     per-user session count and the longest session's event count."""
-    import ray.data as rd
 
     ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
 
@@ -590,20 +607,10 @@ def asof_last_order(sf_dir: str):
     3. inside a bucket: finish the orders reduction, then a single
        vectorized ``pd.merge_asof(by=user)`` over all users at once.
     """
-    import pyarrow as pa
-    import ray.data as rd
 
-    SCHEMA = pa.schema(
-        [
-            ("ub", pa.int32()),
-            ("kind", pa.int8()),  # 0 = event, 1 = order
-            ("user_id", pa.int64()),
-            ("ts", pa.timestamp("us")),
-            ("event_id", pa.int64()),
-            ("orderkey", pa.int64()),
-        ]
-    )
-
+    # common layout (ub, kind, user_id, ts, event_id, orderkey) —
+    # produced identically by both tag functions below; kind 0 = event,
+    # 1 = order
     def tag_events(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {

@@ -99,12 +99,17 @@ def _verify_broadcast(make_sets, cand_m, threshold: float):
     cand_pd = cand_m.to_pandas()
     pairs = cand_pd[["id_a", "id_b"]].to_numpy(np.int64)
 
-    # routing index: doc_id → [(pair_idx, side)] — ids only, broadcast once
+    # routing index: doc_id → [(pair_idx, side)] — ids only, broadcast
+    # once. pairs and roles ship as SEPARATE objects: fan_out needs only
+    # the dict, verify_bucket only the ndarray (zero-copy from plasma) —
+    # bundling them would re-unpickle the multi-MB dict in every
+    # verify group that never reads it
     roles: dict[int, list[tuple[int, int]]] = {}
     for pidx, (a, b) in enumerate(pairs):
         roles.setdefault(int(a), []).append((pidx, 0))
         roles.setdefault(int(b), []).append((pidx, 1))
-    idx_ref = ray.put((pairs, roles))
+    pairs_ref = ray.put(pairs)
+    roles_ref = ray.put(roles)
     members_ref = ray.put(set(roles))
 
     sets_ds = make_sets(members_ref)
@@ -121,7 +126,7 @@ def _verify_broadcast(make_sets, cand_m, threshold: float):
     )
 
     def fan_out(t: pa.Table) -> pa.Table:
-        _, role_map = ray.get(idx_ref)
+        role_map = ray.get(roles_ref)
         vb, roles_c, hashes_c = [], [], []
         hl = t["hashes"].to_pylist()
         for j, doc_id in enumerate(t["doc_id"].to_pylist()):
@@ -147,7 +152,7 @@ def _verify_broadcast(make_sets, cand_m, threshold: float):
     fanned = sets_ds.map_batches(fan_out, batch_format="pyarrow")
 
     def verify_bucket(g: pa.Table) -> pa.Table:
-        all_pairs, _ = ray.get(idx_ref)
+        all_pairs = ray.get(pairs_ref)
         roles_l = g["roles"].to_pylist()
         hl = g["hashes"].to_pylist()
         by_pair: dict[int, list] = {}

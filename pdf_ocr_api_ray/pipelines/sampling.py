@@ -106,8 +106,11 @@ def pack_sequences(sf_dir: str, max_tokens: int = 256, num_buckets: int = 64):
     functions of doc_id. Output: (doc_id, bucket, bin_id, n_tokens).
 
     The DuckDB oracle replays the identical fill rule with a recursive
-    CTE (tests/test_sampling.py)."""
-    import numpy as np
+    CTE (tests/test_sampling.py). Token counting uses the engine-wide
+    ``\\S+`` tokenizer, which is parity-exact with DuckDB only on ASCII
+    text (Python ``\\S`` is Unicode-aware, RE2's is not) — the same
+    corpus assumption every text op relies on, guarded by
+    tests/test_corpus_sql.py::test_vocab_is_filter_safe."""
     import re
 
     token_re = re.compile(r"\S+")
