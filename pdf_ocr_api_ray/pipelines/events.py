@@ -671,3 +671,57 @@ def asof_last_order(sf_dir: str):
         )
 
     return events.union(orders).groupby("ub").map_groups(asof_bucket, batch_format="pandas")
+
+
+def range_join_events(sf_dir: str, window_s: int = 3600):
+    """RANGE join — the interval sibling of ``asof_last_order`` (Ray
+    Data has neither natively): for each event, how many OTHER events
+    the same user produced in the trailing window [ts − window_s, ts)
+    — the classic "recent activity" feature. Distributed shape:
+
+    1. one tagging pass assigns the user-hash bucket;
+    2. groupby(bucket) co-locates each user's events (one Ray group
+       per BUCKET, vectorized inside — never per user);
+    3. per user, counts come from two vectorized ``searchsorted``
+       passes over the user's sorted timestamps (half-open window:
+       strictly-before ts, at-or-after ts − window) — O(log) per
+       event, no per-pair materialization.
+
+    Output: (event_id, user_id, n_recent_events). DuckDB oracle: the
+    equivalent correlated range predicate (tests/test_events_sketch.py)."""
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    win = np.timedelta64(window_s, "s")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df["ub"] = (df["user_id"].to_numpy() % NUM_KEY_BUCKETS).astype(np.int32)
+        return df[["event_id", "user_id", "ts", "ub"]]
+
+    def window_count(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy()
+        counts = np.zeros(len(g), dtype=np.int64)
+        # user runs on the sorted frame
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [len(u)]])
+        for s_, e_ in zip(starts, ends):
+            tu = t[s_:e_]
+            lo = np.searchsorted(tu, tu - win, side="left")
+            hi = np.searchsorted(tu, tu, side="left")  # strictly before
+            counts[s_:e_] = hi - lo
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "n_recent_events": counts,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(window_count, batch_format="pandas")
+    )

@@ -129,3 +129,33 @@ def test_sketch_deterministic_and_bounded(ray_session, tmp_path):
     )
     assert len(m2) <= 6 * 256  # 10× the data, same centroid budget
     assert w2.sum() == 500_000
+
+
+def test_range_join_events_matches_sql(ray_session):
+    import duckdb
+
+    from pdf_ocr_api_ray.pipelines.events import range_join_events
+
+    got = (
+        range_join_events(SF)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(
+        """
+        SELECT e.event_id, e.user_id,
+               (SELECT count(*) FROM events o
+                 WHERE o.user_id = e.user_id
+                   AND o.ts < e.ts
+                   AND o.ts >= e.ts - INTERVAL 1 HOUR) AS n_recent_events
+        FROM events e ORDER BY e.event_id
+        """
+    ).df()
+    assert len(got) == len(exp)
+    assert got["n_recent_events"].sum() > 0  # non-degenerate window
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))

@@ -160,3 +160,49 @@ def test_mass_dup_clique_both_routings(ray_session, tmp_path):
             assert (a, b) in got, (a, b)
     assert len(base) >= len(clique) * (len(clique) - 1) // 2
     pd.testing.assert_frame_equal(base, joined)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    data=st.lists(
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=15),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_prefix_filter_lemma_never_misses(data, threshold):
+    """The SSJoin lemma the ngram path rests on, checked against brute
+    force on random universes: for ANY global total order, every pair
+    with J ≥ t shares a token inside both prefixes of length
+    n − ⌈t·n⌉ + 1. We use the pipeline's (df, hash) order — df computed
+    over the sample — so the exact rule shipped in postings() is what's
+    being tested."""
+    import math
+    from collections import Counter
+
+    sets = [frozenset(s) for s in data]
+    df = Counter(tok for s in sets for tok in set(s))
+
+    def prefix(s):
+        order = sorted(s, key=lambda tok: (df[tok], tok))  # rarest first
+        n = len(s)
+        plen = n - math.ceil(threshold * n - 1e-9) + 1
+        return set(order[:plen])
+
+    prefixes = [prefix(s) for s in sets]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= threshold:
+                assert prefixes[i] & prefixes[j], (
+                    sets[i],
+                    sets[j],
+                    prefixes[i],
+                    prefixes[j],
+                    threshold,
+                )
