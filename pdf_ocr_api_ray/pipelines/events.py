@@ -184,9 +184,14 @@ def json_props_stats(sf_dir: str):
     )
 
     def to_int(df: pd.DataFrame) -> pd.DataFrame:
-        # integer-valued sums/maxes (float only for NULL tolerance)
-        df["sum_k"] = df["sum_k"].astype("int64")
-        df["max_k"] = df["max_k"].astype("int64")
+        # integer-valued sums/maxes (float only for NULL tolerance). A
+        # group whose props are ALL malformed/NULL aggregates to NaN
+        # and a plain int64 cast raises — SQL's SUM over an all-NULL
+        # group is NULL, so such groups ship a null via nullable Int64;
+        # the all-valid fast path keeps the plain int64 dtype
+        for c in ("sum_k", "max_k"):
+            s = df[c]
+            df[c] = s.astype("int64") if s.notna().all() else s.round().astype("Int64")
         return df
 
     return agg.map_batches(to_int, batch_format="pandas")

@@ -125,8 +125,19 @@ def _verify_broadcast(make_sets, cand_m, threshold: float):
         ]
     )
 
+    # per-worker cache for the routing dict: plasma re-deserializes
+    # non-numpy objects on EVERY ray.get, so a bare get inside fan_out
+    # would re-unpickle the multi-MB dict once per batch. The closure
+    # cell is captured in the pickled function; Ray workers deserialize
+    # the batch fn once and reuse it, so the dict is resolved once per
+    # worker process. (pairs_ref stays a bare get in verify_bucket — a
+    # numpy ndarray IS zero-copy from plasma.)
+    _roles_cache: dict = {}
+
     def fan_out(t: pa.Table) -> pa.Table:
-        role_map = ray.get(roles_ref)
+        role_map = _roles_cache.get("roles")
+        if role_map is None:
+            role_map = _roles_cache["roles"] = ray.get(roles_ref)
         vb, roles_c, hashes_c = [], [], []
         hl = t["hashes"].to_pylist()
         for j, doc_id in enumerate(t["doc_id"].to_pylist()):

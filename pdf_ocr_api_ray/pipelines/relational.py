@@ -112,15 +112,18 @@ def top_orders(sf_dir: str):
         return t.take(idx)
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    # final merge: ≤10 rows per block → driver-side sort of a tiny set,
-    # re-wrapped as a Dataset for a uniform query return type
-    import ray.data as _rd
-
-    merged = partials.to_pandas()
-    return _rd.from_pandas(
-        merged.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        .head(10)
-        .reset_index(drop=True)
+    # final merge stays in the cluster: fold the ≤10-rows-per-block
+    # partials through an intermediate reduction (32 ways) and then a
+    # single block — the driver never receives more than the final 10
+    # rows regardless of block count (a 10⁶-block run folds 10⁷ partial
+    # rows inside tasks, not on the driver)
+    return (
+        partials.repartition(32)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        # select_k_unstable emits its indices already ordered by the
+        # sort keys, so the single-block final pass is globally sorted
+        .map_batches(local_topk, batch_format="pyarrow")
     )
 
 
@@ -179,9 +182,15 @@ def orders_per_nation(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
     )
+    from ._util import clamped_join_partitions
+
     cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     joined = per_cust.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        join_type="inner",
+        num_partitions=clamped_join_partitions(64),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
 
     def add_nation(t: pa.Table) -> pa.Table:

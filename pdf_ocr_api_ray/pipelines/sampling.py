@@ -100,8 +100,9 @@ def pack_sequences(sf_dir: str, max_tokens: int = 256, num_buckets: int = 64):
     training sequence). Global greedy packing is inherently sequential,
     so the scalable contract is bucket-local: docs hash to
     ``doc_id % num_buckets`` buckets, and each bucket packs its docs in
-    doc_id order (first-fit: a doc joins the open bin if it fits, else
-    opens a new one; an oversized doc gets its own bin). Deterministic
+    doc_id order (next-fit: a doc joins the single currently-open bin
+    if it fits, else opens a new one — earlier bins are never revisited;
+    an oversized doc gets its own bin). Deterministic
     under any parallelism — bucket identity and fill order are pure
     functions of doc_id. Output: (doc_id, bucket, bin_id, n_tokens).
 

@@ -159,3 +159,34 @@ def test_range_join_events_matches_sql(ray_session):
     assert len(got) == len(exp)
     assert got["n_recent_events"].sum() > 0  # non-degenerate window
     pd.testing.assert_frame_equal(got, exp.astype("int64"))
+
+
+def test_json_props_stats_all_null_group(ray_session, tmp_path):
+    """ADVICE r3: an event_type whose props are ALL NULL/malformed must
+    aggregate to a NULL sum/max (SQL semantics), not crash the int
+    cast; groups with any valid k keep the plain int64 path."""
+    from pdf_ocr_api_ray.pipelines.events import json_props_stats
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(
+                    ["dead", "dead", "dead", "live", "live"], pa.string()
+                ),
+                "props": pa.array(
+                    [None, "not json", '{"x": 1}', '{"k": 3}', None], pa.string()
+                ),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = (
+        json_props_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    dead = out[out["event_type"] == "dead"].iloc[0]
+    live = out[out["event_type"] == "live"].iloc[0]
+    assert dead["n_events"] == 3
+    assert pd.isna(dead["sum_k"]) and pd.isna(dead["max_k"])
+    assert live["n_events"] == 2 and live["sum_k"] == 3 and live["max_k"] == 3
