@@ -604,6 +604,117 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 
 
+def dedup_clusters_sql() -> str:
+    """Transitive closure over the exact-Jaccard pair graph (the
+    minhash oracle inlined as a CTE): connected components with
+    min-id representative and component size — ``dedup_clusters``'s
+    from-first-principles twin."""
+    return f"""WITH RECURSIVE pairs AS (
+{dedup_minhash_lsh_sql()}
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(src, node) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+reps AS (SELECT node, min(src) AS cluster_rep FROM reach GROUP BY node),
+sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM reps GROUP BY cluster_rep)
+SELECT r.node AS doc_id, r.cluster_rep, s.cluster_size
+FROM reps r JOIN sizes s ON s.cluster_rep = r.cluster_rep"""
+
+
+def sample_stratified_sql() -> str:
+    """Deterministic stratified Bernoulli sample: the identical
+    md5-little-endian draw arithmetic as sampling._u32, thresholds =
+    DEFAULT_FRACTIONS."""
+    id_expr = "'samp|'||CAST(doc_id AS VARCHAR)"
+    draw = f"({_md5_le64(id_expr)} % 4294967296)"
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {draw} < (CASE WHEN lang = 'en' THEN 0.5
+                             WHEN lang = 'pt' THEN 0.3
+                             ELSE 0.2 END) * 4294967296"""
+
+
+def group_topk_sql(k: int = 5) -> str:
+    return f"""
+        SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents
+        ) WHERE rank <= {k}"""
+
+
+def pack_sequences_sql(max_tokens: int = 256, num_buckets: int = 64) -> str:
+    """Recursive-CTE replay of the bucket-local next-fit fill rule."""
+    return rf"""
+        WITH RECURSIVE ord AS (
+            SELECT doc_id, doc_id % {num_buckets} AS bucket,
+                   len(regexp_extract_all(text, '\S+')) AS n,
+                   row_number() OVER (PARTITION BY doc_id % {num_buckets}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack(bucket, rn, doc_id, n, bin_id, fill) AS (
+            SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT), n
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.bucket, o.rn, o.doc_id, o.n,
+                   CASE WHEN p.fill + o.n <= {max_tokens} THEN p.bin_id ELSE p.bin_id + 1 END,
+                   CASE WHEN p.fill + o.n <= {max_tokens} THEN p.fill + o.n ELSE o.n END
+            FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+        )
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, bin_id,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM pack"""
+
+
+def media_decode_ppm_sql(target_w: int = 64) -> str:
+    """The decoded features are SQL-reproducible because the SYNTH
+    payload derives from row scalars — but the pipeline path really
+    parses bytes, so a decoder bug (wrong dims, channel swap,
+    off-by-one header scan) breaks parity."""
+    return f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   32 + (n_chars % 97) AS w,
+                   16 + (doc_id % 53) AS h,
+                   (doc_id * 7) % 256 AS r,
+                   (doc_id * 13) % 256 AS g,
+                   (n_chars * 31) % 256 AS b
+            FROM documents
+        ),
+        rs AS (
+            SELECT *, greatest(1, CAST(floor(h * {target_w}.0 / w + 0.5) AS BIGINT)) AS oh
+            FROM dims
+        )
+        SELECT doc_id, TRUE AS ok,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(r AS BIGINT) AS mean_r, CAST(g AS BIGINT) AS mean_g,
+               CAST(b AS BIGINT) AS mean_b,
+               CAST({target_w} AS BIGINT) AS out_w, oh AS out_h,
+               oh * {target_w} * (r + g + b) AS resized_sum
+        FROM rs"""
+
+
+def range_join_events_sql(window_s: int = 3600) -> str:
+    """Correlated trailing-window count — the range join's twin."""
+    return f"""
+        SELECT e.event_id, e.user_id,
+               (SELECT count(*) FROM events o
+                 WHERE o.user_id = e.user_id
+                   AND o.ts < e.ts
+                   AND o.ts >= e.ts - INTERVAL {window_s} SECOND) AS n_recent_events
+        FROM events e"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -632,4 +743,11 @@ def corpus_oracles() -> dict[str, str]:
             SELECT doc_id, md5(text) AS content_fp,
                    md5('demo-credential|' || CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS seal
             FROM documents""",
+        # r4 registry rotation: the formerly pytest-only library ops
+        "dedup_clusters": dedup_clusters_sql(),
+        "sample_stratified": sample_stratified_sql(),
+        "group_topk": group_topk_sql(),
+        "pack_sequences": pack_sequences_sql(),
+        "media_decode_ppm": media_decode_ppm_sql(),
+        "range_join_events": range_join_events_sql(),
     }
