@@ -42,6 +42,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import pairs as verify
 from ._util import distinct_pairs, read_parquet_clean
@@ -380,6 +381,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     *,
     max_broadcast_pairs: int | None = None,
+    max_df_tokens: int = 1_000_000,
 ):
     """Within-source pairwise word-set Jaccard: pairs (a<b) in the same
     ``source`` with J ≥ threshold — EXACT output via prefix-filtered
@@ -405,11 +407,13 @@ def ngram_jaccard_pairs(
     source. The SQL oracle (exact all-pairs) is unchanged: prefix
     filtering is exact, so output is identical.
 
-    Scale note: the df ordering map is driver-collected vocabulary
-    metadata (like the broadcast nation dict). At extreme vocabularies
-    cap it to the hottest K tokens — any total, worker-consistent order
-    stays EXACT (the lemma needs only a fixed global order); df
-    ordering merely minimizes candidates.
+    The df ordering map is CAPPED at ``max_df_tokens`` via distributed
+    top-K-by-df (partial-fold, never the full vocabulary on the
+    driver); long-tail tokens beyond the cap default to df = 1. Still
+    EXACT: the lemma needs only a fixed worker-consistent total order —
+    df ordering merely minimizes candidates, and the hot tokens the cap
+    retains are exactly the ones whose position matters
+    (tests/test_dedup.py pins cap ≪ vocabulary ≡ uncapped).
     """
     import math
 
@@ -466,21 +470,54 @@ def ngram_jaccard_pairs(
             }
         )
 
-    df_pd = (
+    df_agg = (
         toks_ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum("partial", alias_name="df"))
-        .to_pandas()
     )
-    df_pd = df_pd[df_pd["df"] >= 2]  # df-1 tokens can never connect a pair
-    df_map = dict(
-        zip(df_pd["h"].to_numpy(np.int64).view(np.uint64), df_pd["df"].to_numpy())
+
+    # CAP the broadcast ordering map to the hottest max_df_tokens
+    # tokens — distributed top-K by (df desc, h asc), same partial-fold
+    # pattern as relational.top_orders, so the driver never holds the
+    # full vocabulary. EXACT under any cap: the SSJoin prefix lemma
+    # needs only a total order that is consistent on every worker;
+    # uncapped (long-tail) tokens all default to df = 1 and sort first
+    # by hash — the same order everywhere — while the hot tokens the
+    # cap retains keep their true df and stay OUT of prefixes, which
+    # is where df ordering earns its candidate pruning.
+    def df_local_topk(t: pa.Table) -> pa.Table:
+        keep = pc.filter(t, pc.greater_equal(t["df"], 2))  # df-1 never joins a pair
+        if keep.num_rows <= max_df_tokens:
+            return keep
+        idx = pc.select_k_unstable(
+            keep, k=max_df_tokens, sort_keys=[("df", "descending"), ("h", "ascending")]
+        )
+        return keep.take(idx)
+
+    df_pd = (
+        df_agg.map_batches(df_local_topk, batch_format="pyarrow")
+        .repartition(32)
+        .map_batches(df_local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(df_local_topk, batch_format="pyarrow")
+        .to_pandas()  # ≤ max_df_tokens rows regardless of vocabulary
     )
-    df_ref = ray.put(df_map)
+    # broadcast as PARALLEL SORTED ARRAYS, not a dict: numpy arrays are
+    # zero-copy out of plasma (a dict would re-unpickle per ray.get) and
+    # the per-doc lookup becomes one vectorized searchsorted.
+    # All-unique-vocabulary corpora filter the aggregate EMPTY, and
+    # to_pandas on an empty Ray dataset drops its columns — guard it
+    if "h" not in df_pd.columns:
+        df_pd = pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                              "df": pd.Series([], dtype="int64")})
+    df_keys = df_pd["h"].to_numpy(np.int64).view(np.uint64)
+    df_vals = df_pd["df"].to_numpy(np.int64)
+    key_order = np.argsort(df_keys)
+    df_ref = ray.put((df_keys[key_order], df_vals[key_order]))
 
     # pass 2: post prefix tokens (rarest-first order), bucketed
     def postings(t: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
+        df_keys_s, df_vals_s = ray.get(df_ref)
         pref_arrs, src_c, id_c, n_c, shash = [], [], [], [], []
         for doc_id, src, hs in zip(
             t["doc_id"].to_pylist(), t["source"].to_pylist(), t["hashes"].to_pylist()
@@ -489,7 +526,15 @@ def ngram_jaccard_pairs(
             if n == 0:
                 continue
             arr = np.asarray(hs, dtype=np.uint64)
-            dfs = np.fromiter((dfm.get(int(h), 1) for h in arr), dtype=np.int64, count=n)
+            # vectorized df lookup in the sorted capped map; misses
+            # (long-tail tokens beyond the cap) take df = 1
+            if df_keys_s.size:
+                pos = np.minimum(
+                    np.searchsorted(df_keys_s, arr), df_keys_s.size - 1
+                )
+                dfs = np.where(df_keys_s[pos] == arr, df_vals_s[pos], 1)
+            else:
+                dfs = np.ones(n, dtype=np.int64)
             order = np.lexsort((arr, dfs))  # (df, hash) ascending — rarest first
             plen = n - math.ceil(threshold * n - 1e-9) + 1
             prefix = arr[order[:plen]]

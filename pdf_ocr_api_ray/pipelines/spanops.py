@@ -614,35 +614,142 @@ def span_properties(sf_dir: str):
     return ds.map_batches(props, batch_format="pyarrow")
 
 
+ELEMENTS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("path", pa.string()),
+        ("page", pa.int64()),
+        ("num_rows", pa.int64()),
+        ("num_cols", pa.int64()),
+    ]
+)
+
+
+def layout_elements_batch(t: pa.Table) -> pa.Table:
+    # vectorized flattened-span path (same kernels family as
+    # _project_counts) — semantics identical to the sequential
+    # functions.ocr.spans_to_document + layout.extract_elements
+    # builders, which remain the library/oracle reference:
+    #   - a table span starts a NEW table iff the previous span in
+    #     its chunk is not a table span, or it is a header row
+    #     immediately following a body row (equivalent to the
+    #     builder's "header while current table has body" rule:
+    #     after any body row the very next header always splits);
+    #   - the paragraph block ('//Document/Sect/P') counts one line
+    #     per text/table span; suppressed only when the chunk's
+    #     whole text buffer is empty (no lines, or a single empty
+    #     line — ''.join semantics);
+    #   - one Figure row per media span.
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.ocr import CHUNK_STRIDE, MEDIA_KINDS, TABLE_KINDS
+
+    spans = t.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    if len(flat) == 0:
+        return ELEMENTS_SCHEMA.empty_table()
+    par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    kind = pc.fill_null(flat.field("kind"), "")
+    is_hdr = pc.equal(kind, "table_header").to_numpy(zero_copy_only=False)
+    is_cell = pc.equal(kind, "table_cell").to_numpy(zero_copy_only=False)
+    is_media = pc.is_in(
+        kind, value_set=pa.array(list(MEDIA_KINDS), pa.string())
+    ).to_numpy(zero_copy_only=False)
+    is_tab = is_hdr | is_cell
+    assert set(TABLE_KINDS) == {"table_header", "table_cell"}
+    is_line = ~is_media  # table + text(/unknown) spans each emit a line
+    text = pc.fill_null(flat.field("text"), "")
+    text_empty = pc.equal(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+    # a table row string is ' '.join(text.split('\t')) — same length
+    # as the raw text, so a row line is empty iff its text is empty
+    n_cols_row = (
+        pc.add(pc.count_substring(text, "\t"), 1).to_numpy(zero_copy_only=False)
+    )
+    off = pc.fill_null(flat.field("offset"), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    chunk = off // CHUNK_STRIDE
+
+    # chunk-major, offset-ascending scan order (stable for ties —
+    # matches the sequential builder's list order)
+    order = np.lexsort((off, chunk, par))
+    par, chunk, off = par[order], chunk[order], off[order]
+    is_hdr, is_cell, is_tab = is_hdr[order], is_cell[order], is_tab[order]
+    is_media, is_line = is_media[order], is_line[order]
+    text_empty, n_cols_row = text_empty[order], n_cols_row[order]
+
+    new_group = np.ones(len(par), dtype=bool)
+    new_group[1:] = (par[1:] != par[:-1]) | (chunk[1:] != chunk[:-1])
+    gid = np.cumsum(new_group) - 1
+    n_groups = int(gid[-1]) + 1
+    g_par = par[new_group]
+    g_chunk = chunk[new_group]
+
+    prev_is_tab = np.zeros(len(par), dtype=bool)
+    prev_is_tab[1:] = is_tab[:-1]
+    prev_is_tab[new_group] = False
+    prev_is_cell = np.zeros(len(par), dtype=bool)
+    prev_is_cell[1:] = is_cell[:-1]
+    prev_is_cell[new_group] = False
+
+    starts = is_tab & (~prev_is_tab | (is_hdr & prev_is_cell))
+    tid = np.cumsum(starts) - 1  # table id at every position
+    n_tables = int(starts.sum())
+    tbl_rows = np.zeros(n_tables, dtype=np.int64)
+    np.add.at(tbl_rows, tid[is_cell], 1)
+    tbl_cols = np.zeros(n_tables, dtype=np.int64)
+    np.maximum.at(tbl_cols, tid[is_tab], n_cols_row[is_tab])
+    tbl_par = par[starts]
+    tbl_chunk = chunk[starts]
+
+    n_lines = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(n_lines, gid[is_line], 1)
+    n_nonempty = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(n_nonempty, gid[is_line & ~text_empty], 1)
+    p_emit = (n_lines >= 2) | ((n_lines == 1) & (n_nonempty >= 1))
+    n_fig = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(n_fig, gid[is_media], 1)
+
+    fig_groups = np.repeat(np.arange(n_groups), n_fig)
+    out_par = np.concatenate([tbl_par, g_par[p_emit], g_par[fig_groups]])
+    out_page = np.concatenate([tbl_chunk, g_chunk[p_emit], g_chunk[fig_groups]])
+    out_rows = np.concatenate(
+        [tbl_rows, n_lines[p_emit], np.zeros(fig_groups.size, dtype=np.int64)]
+    )
+    out_cols = np.concatenate(
+        [tbl_cols, np.zeros(int(p_emit.sum()) + fig_groups.size, dtype=np.int64)]
+    )
+    out_path = np.concatenate(
+        [
+            np.full(n_tables, "//Document/Sect/Table", dtype=object),
+            np.full(int(p_emit.sum()), "//Document/Sect/P", dtype=object),
+            np.full(fig_groups.size, "//Document/Sect/Figure", dtype=object),
+        ]
+    )
+    return pa.table(
+        {
+            "doc_id": pc.take(t["doc_id"], pa.array(out_par, pa.int64())),
+            "path": pa.array(out_path, pa.string()),
+            "page": pa.array(out_page, pa.int64()),
+            "num_rows": pa.array(out_rows, pa.int64()),
+            "num_cols": pa.array(out_cols, pa.int64()),
+        },
+        schema=ELEMENTS_SCHEMA,
+    )
+
+
 def extract_layout(sf_dir: str):
     """Structured layout extraction (extractpdf family + the reference's
     lib/extractLayout.js): one Adobe-Extract-style element row per
-    table/paragraph-block/figure per chunk."""
-    import pyarrow as pa
-
-    from ..functions.layout import extract_elements
-    from ..functions.ocr import spans_to_documents
-
-    ds = _spans_corpus(sf_dir)
-
-    ELEMENTS_SCHEMA = pa.schema(
-        [
-            ("doc_id", pa.string()),
-            ("path", pa.string()),
-            ("page", pa.int64()),
-            ("num_rows", pa.int64()),
-            ("num_cols", pa.int64()),
-        ]
+    table/paragraph-block/figure per chunk — the vectorized
+    ``layout_elements_batch`` kernel over the spans corpus
+    (tests/test_spanops_property.py pins it against the sequential
+    functions.ocr/layout builders on adversarial structures)."""
+    return _spans_corpus(sf_dir).map_batches(
+        layout_elements_batch, batch_format="pyarrow"
     )
-
-    def fn(t: pa.Table) -> pa.Table:
-        rows = []
-        for r in t.to_pylist():
-            for doc in spans_to_documents(r["spans"] or []):
-                rows.extend(extract_elements(r["doc_id"], doc["chunk_idx"], doc))
-        return pa.Table.from_pylist(rows, schema=ELEMENTS_SCHEMA)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _project_counts(ds):

@@ -206,3 +206,16 @@ def test_prefix_filter_lemma_never_misses(data, threshold):
                     prefixes[j],
                     threshold,
                 )
+
+
+def test_ngram_df_cap_is_exact(ray_session):
+    """VERDICT r3 #2: the df ordering map capped FAR below the
+    vocabulary (3 tokens vs thousands) must produce bit-identical
+    pairs — the SSJoin lemma needs only a worker-consistent total
+    order, so the cap changes candidate volume, never output."""
+    from pdf_ocr_api_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    base = _canon(ngram_jaccard_pairs(SF))
+    capped = _canon(ngram_jaccard_pairs(SF, max_df_tokens=3))
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, capped)

@@ -94,3 +94,56 @@ def test_split_batch_matches_kernel(batch):
     # row counts agree too (no extra/missing parts)
     expected_rows = sum(len(spanops.split_doc(d["doc_id"], d["spans"])) for d in docs)
     assert len(rows) == expected_rows
+
+
+def test_layout_elements_batch_matches_sequential_builder():
+    """r4 vectorization of extract_layout: the flattened segmented-scan
+    kernel must equal the sequential spans_to_documents +
+    extract_elements builders on adversarial inputs — tab-bearing
+    table rows, EMPTY span texts (the single-empty-line P suppression),
+    header-after-body table splits, media-only chunks, unknown kinds
+    (treated as text lines)."""
+    from collections import Counter
+
+    from pdf_ocr_api_ray.functions.layout import extract_elements
+    from pdf_ocr_api_ray.functions.ocr import spans_to_documents
+
+    rng = random.Random(20260818)
+    kinds = ["text", "table_header", "table_cell", "page_image", "mystery"]
+    docs = []
+    for i in range(200):
+        spans = []
+        for c in sorted(rng.sample(range(0, 9), rng.randint(0, 4))):
+            for r in rng.sample(range(0, 30), rng.randint(1, 7)):
+                kind = rng.choice(kinds)
+                if kind in ("table_header", "table_cell"):
+                    ncell = rng.randint(1, 4)
+                    text = "\t".join(
+                        rng.choice(["", f"v{r}", "xy"]) for _ in range(ncell)
+                    )
+                elif kind == "page_image":
+                    text = ""
+                else:
+                    text = rng.choice(["", f"line{c}.{r}", "a b"])
+                spans.append(
+                    {
+                        "kind": kind,
+                        "text": text,
+                        "media_ref": f"mem://m/{c}/{r}" if kind == "page_image" else "",
+                        "offset": c * CHUNK_STRIDE + r,
+                    }
+                )
+        rng.shuffle(spans)
+        docs.append({"doc_id": f"lay-{i:04d}", "spans": spans})
+
+    t = pa.Table.from_pylist(docs, schema=INPUT_SCHEMA)
+    got = spanops.layout_elements_batch(t).to_pylist()
+
+    exp = []
+    for d in docs:
+        for doc in spans_to_documents(d["spans"] or []):
+            exp.extend(extract_elements(d["doc_id"], doc["chunk_idx"], doc))
+
+    key = lambda r: (r["doc_id"], r["path"], r["page"], r["num_rows"], r["num_cols"])
+    assert Counter(map(key, got)) == Counter(map(key, exp))
+    assert len(exp) > 300  # non-degenerate corpus
