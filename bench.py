@@ -293,12 +293,36 @@ def run_actors(concurrency: int) -> dict:
 
     tasks_s = run()
     actors_s = run(parse_concurrency=concurrency)
+
+    # the HEAVY-INIT crossover (VERDICT r3 #5): the flagship parser's
+    # __init__ binds small dicts, so the pool loses to tasks above —
+    # the synthetic model stage (weights built in __init__, stages/
+    # model.py) is where the actor pool must WIN: tasks pay the weight
+    # build per BATCH, the pool pays it per ACTOR
+    from pdf_ocr_api_ray.stages.model import model_features
+
+    docs_ds = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+
+    def run_model(mode: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.time()
+            model_features(docs_ds, mode, concurrency=concurrency).count()
+            best = min(best, _time.time() - t0)
+        return best
+
+    model_tasks_s = run_model("tasks")
+    model_actors_s = run_model("actors")
     ray.shutdown()
     return {
         "metric": "parse_actor_pool_sec",
         "value": round(actors_s, 3),
         "unit": "sec",
         "tasks_sec": round(tasks_s, 3),
+        "model_stage_actors_sec": round(model_actors_s, 3),
+        "model_stage_tasks_sec": round(model_tasks_s, 3),
         "actor_concurrency": concurrency,
         "n_docs": n_docs,
         "num_cpus": NUM_CPUS,

@@ -431,3 +431,29 @@ def test_tier_fallback_is_per_chunk():
 def test_sem_quantidade():
     assert sem_quantidade(None) and sem_quantidade("") and sem_quantidade("  ")
     assert not sem_quantidade("0") and not sem_quantidade("1,5")
+
+
+def test_model_stage_modes_identical(ray_session):
+    """stages/model.py: actor-pool and stateless-task execution of the
+    heavy-init model stage produce bit-identical features (same seed →
+    same weights wherever they are built)."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines._util import read_parquet_clean
+    from pdf_ocr_api_ray.stages.model import model_features
+
+    ds = read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        model_features(ds, "actors", concurrency=2, weight_mb=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        model_features(ds, "tasks", weight_mb=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(a) > 0 and a["feature_checksum"].abs().sum() > 0
+    pd.testing.assert_frame_equal(a, b)
