@@ -146,3 +146,47 @@ def test_long_chain_converges_and_short_budget_refuses(ray_session, tmp_path):
 
     with pytest.raises(RuntimeError, match="fixpoint"):
         dedup_clusters(sf, max_rounds=3)
+
+
+def test_checkpoint_resume_matches_uninterrupted(ray_session, tmp_path):
+    """VERDICT r3 #7: a killed round-k propagation (here: the loud
+    non-convergence refusal at an insufficient round budget) must
+    resume AT round k from the persisted label tables — and the
+    resumed output must equal an uninterrupted run bit-for-bit."""
+    from pdf_ocr_api_ray.pipelines.dedup import dedup_clusters
+
+    words = [f"tok{i:03d}" for i in range(60)]
+    texts = [" ".join(words[s : s + 20]) for s in range(0, 36, 3)]  # 12-doc chain
+    ids = [101 + 2 * i for i in range(12)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    base = dedup_clusters(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+
+    # "killed" run: budget below the chain diameter → refuses loudly,
+    # but rounds 1..5 are already persisted
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup_clusters(sf, max_rounds=5, checkpoint_dir=ckpt)
+    done = sorted(os.listdir(ckpt))
+    assert done == [f"round_{k:04d}" for k in range(1, 6)]
+    mtimes = {d: os.path.getmtime(os.path.join(ckpt, d, "_round.json")) for d in done}
+
+    # resume with a sufficient budget: picks up at round 5
+    got = (
+        dedup_clusters(sf, checkpoint_dir=ckpt)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, base)
+    for d in done:  # the resumed run must NOT have recomputed rounds 1..5
+        assert os.path.getmtime(os.path.join(ckpt, d, "_round.json")) == mtimes[d]
+    assert len(os.listdir(ckpt)) > 5  # and it really continued past them
