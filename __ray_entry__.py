@@ -214,8 +214,20 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
     """Library queries rotated OUT of the 50-row driver registry in r4
     (each has ≥1 green driver CORRECTNESS row from r1-r3). Still
     first-class engine surface: tests/test_queries_vs_duckdb.py runs
-    these against their oracle_sql() entries exactly like the registry."""
-    from pdf_ocr_api_ray.pipelines import events, media, relational, spanops, text
+    these against their oracle_sql() entries exactly like the registry.
+
+    Also hosts the r4 curation operators (decontaminate /
+    repetition_stats / bm25_rank) — new library surface that cannot
+    enter queries() without evicting a never-rotated row (hard 50-row
+    driver cap, proven empirically in r2)."""
+    from pdf_ocr_api_ray.pipelines import (
+        curation,
+        events,
+        media,
+        relational,
+        spanops,
+        text,
+    )
 
     return {
         "systematic_sample": events.systematic_sample,
@@ -225,6 +237,10 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "span_reorder": spanops.reorder_chunks,
         "media_features": media.media_features,
         "token_freq": text.token_freq,
+        # r4 curation set (see pipelines/curation.py)
+        "decontaminate": curation.decontaminate,
+        "repetition_stats": curation.repetition_stats,
+        "bm25_rank": curation.bm25_rank,
     }
 
 
@@ -557,5 +573,112 @@ _RELATIONAL_ORACLES = {
                    CAST(256 AS BIGINT) AS out_w,
                    CAST(floor(h * 256.0 / w + 0.5) AS BIGINT) AS out_h
             FROM (SELECT *, unnest(range(CAST(ceil(nf / 6.0) AS BIGINT))) AS i FROM m)
+        """,
+        # ---- r4 curation operators (pipelines/curation.py) ----
+        "decontaminate": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS i
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+                      FROM documents)
+            ), grams AS (
+                SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+                FROM tok a
+                JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM grams JOIN bench USING (g)
+                WHERE doc_id % 97 <> 0
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(greatest(len(regexp_extract_all(coalesce(d.text, ''), '\S+')) - 2, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        """,
+        "repetition_stats": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS i
+                FROM (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+                      FROM documents)
+            ), tstats AS (
+                SELECT doc_id, count(*) AS t_total,
+                       count(DISTINCT w) AS t_distinct
+                FROM tok GROUP BY doc_id
+            ), gc AS (
+                SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c
+                FROM tok a JOIN tok b
+                  ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                GROUP BY a.doc_id, g
+            ), gstats AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS g_total,
+                       count(*) AS g_distinct, max(c) AS g_top
+                FROM gc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(t.t_total, 0) AS BIGINT) AS n_tokens,
+                   (coalesce(t.t_total, 0) - coalesce(t.t_distinct, 0))
+                       / greatest(coalesce(t.t_total, 0), 1) AS dup_token_frac,
+                   (coalesce(g.g_total, 0) - coalesce(g.g_distinct, 0))
+                       / greatest(coalesce(g.g_total, 0), 1) AS dup_ngram_frac,
+                   coalesce(g.g_top, 0)
+                       / greatest(coalesce(g.g_total, 0), 1) AS top_ngram_frac
+            FROM documents d
+            LEFT JOIN tstats t USING (doc_id)
+            LEFT JOIN gstats g USING (doc_id)
+        """,
+        "bm25_rank": r"""
+            -- constants mirror bm25_rank defaults: query 'table scan
+            -- merge', k=20, k1=1.2, b=0.75; idf is the log-free
+            -- monotone form (N-df+0.5)/(df+0.5) and every expression
+            -- is written in the SAME evaluation order as the Ray
+            -- pipeline (left-assoc + over the three terms)
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS w
+                FROM documents
+            ), dl AS (
+                SELECT d.doc_id, coalesce(t.cnt, 0) AS dl,
+                       coalesce(t.tf0, 0) AS tf0,
+                       coalesce(t.tf1, 0) AS tf1,
+                       coalesce(t.tf2, 0) AS tf2
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS cnt,
+                           count(*) FILTER (WHERE w = 'table') AS tf0,
+                           count(*) FILTER (WHERE w = 'scan') AS tf1,
+                           count(*) FILTER (WHERE w = 'merge') AS tf2
+                    FROM tok GROUP BY doc_id
+                ) t USING (doc_id)
+            ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_tokens,
+                       count(*) FILTER (WHERE tf0 > 0) AS df0,
+                       count(*) FILTER (WHERE tf1 > 0) AS df1,
+                       count(*) FILTER (WHERE tf2 > 0) AS df2
+                FROM dl
+            ), scored AS (
+                SELECT doc_id,
+                       ((s.n_docs - s.df0 + 0.5) / (s.df0 + 0.5))
+                           * (tf0 * (1.2 + 1.0))
+                           / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (s.sum_tokens / s.n_docs))))
+                     + ((s.n_docs - s.df1 + 0.5) / (s.df1 + 0.5))
+                           * (tf1 * (1.2 + 1.0))
+                           / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (s.sum_tokens / s.n_docs))))
+                     + ((s.n_docs - s.df2 + 0.5) / (s.df2 + 0.5))
+                           * (tf2 * (1.2 + 1.0))
+                           / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (s.sum_tokens / s.n_docs)))) AS score
+                FROM dl, stats s
+            )
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
     }

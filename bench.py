@@ -363,6 +363,75 @@ def run_neardup_tables(n_tables: int) -> dict:
     }
 
 
+def _shuffle_ab_worker(strategy: str, job: str) -> None:
+    """One (strategy, job) measurement in THIS process; prints seconds.
+    Isolated per-process because repeated join-mode runs inside one Ray
+    session accumulate HashShuffleAggregator actor pools across jobs
+    and wedge the local cluster (observed: dataset stalls >13 min at
+    ~90% idle after the second job; solo run of the same job: 33 s)."""
+    import time as _time
+
+    import ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    _ray_up()
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy(strategy)
+    if strategy == "hash_shuffle":
+        # REQUIRED on a single node: the default cap (64 aggregator
+        # actors, gang-scheduled per exchange) exceeds a 32-CPU
+        # cluster once a join's own aggregators join the party —
+        # measured hard deadlock (300+ workers blocked in ray.get,
+        # 0% progress at 600 s; same job with this cap: 22 s).
+        ctx.max_hash_shuffle_aggregators = max(2, NUM_CPUS // 4)
+    from pdf_ocr_api_ray.pipelines.dedup import dedup_minhash_lsh
+    from pdf_ocr_api_ray.pipelines.relational import orders_per_nation
+
+    jobs = {
+        "orders_per_nation": lambda: orders_per_nation(SF_DIR).count(),
+        "minhash_join_mode": lambda: dedup_minhash_lsh(
+            SF_DIR, max_broadcast_pairs=0
+        ).count(),
+    }
+    t0 = _time.time()
+    jobs[job]()
+    print(json.dumps({"sec": round(_time.time() - t0, 3)}))
+    ray.shutdown()
+
+
+def run_shuffle_ab() -> dict:
+    """VERDICT r3 stretch: sort- vs hash-shuffle on the JOIN-heavy
+    queries (orders_per_nation's pre-agg+join+groupby chain; minhash
+    pair verify FORCED onto its two-Dataset.join routing) so the
+    r2 sort-vs-hash decision carries join evidence, not just the
+    extraction exchange. Groupbys honor DataContext.shuffle_strategy;
+    Dataset.join is natively hash-partitioned either way — the A/B
+    isolates what strategy choice does to the surrounding exchanges.
+    Every (strategy, job, repeat) runs in a FRESH process (see
+    _shuffle_ab_worker)."""
+
+    def one(strategy: str, job: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--shuffle-ab-worker", strategy, job],
+                env=dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS)),
+                capture_output=True,
+                text=True,
+                check=True,
+                timeout=600,
+            ).stdout
+            best = min(best, json.loads(out.strip().splitlines()[-1])["sec"])
+        return best
+
+    out: dict = {"metric": "shuffle_ab", "unit": "sec", "num_cpus": NUM_CPUS}
+    for strat in ("sort_shuffle_pull_based", "hash_shuffle"):
+        for name in ("orders_per_nation", "minhash_join_mode"):
+            out[f"{name}@{strat}"] = one(strat, name)
+    return out
+
+
 def run_scaling() -> dict:
     """Same headline job at 8 and 32 CPUs in fresh processes."""
 
@@ -419,6 +488,11 @@ if __name__ == "__main__":
     elif "--actors" in sys.argv:
         i = sys.argv.index("--actors")
         print(json.dumps(run_actors(int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 8)))
+    elif "--shuffle-ab-worker" in sys.argv:
+        i = sys.argv.index("--shuffle-ab-worker")
+        _shuffle_ab_worker(sys.argv[i + 1], sys.argv[i + 2])
+    elif "--shuffle-ab" in sys.argv:
+        print(json.dumps(run_shuffle_ab()))
     elif "--neardup-tables" in sys.argv:
         i = sys.argv.index("--neardup-tables")
         print(
