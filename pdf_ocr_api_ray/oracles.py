@@ -715,6 +715,114 @@ def range_join_events_sql(window_s: int = 3600) -> str:
         FROM events e"""
 
 
+def dedup_segments_sql(seg_len: int = 10) -> str:
+    """Segment-dedup twin: regenerates the boilerplate augmentation
+    from the SAME constants as the engine (no drift possible), keys
+    winners on the raw segment STRING (the engine keys on its md5 —
+    a collision would surface here as a parity failure), and replays
+    the global-first rule as ``row_number() OVER (PARTITION BY seg
+    ORDER BY doc_id, seg_idx) = 1``."""
+    from .pipelines.curation import SEG_DUP_MOD, SEG_DUP_PHRASES
+
+    p0, p1, p2 = SEG_DUP_PHRASES
+    return rf"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % {SEG_DUP_MOD} = 0 THEN
+                   (CASE doc_id % 3 WHEN 0 THEN '{p0}' WHEN 1 THEN '{p1}'
+                         ELSE '{p2}' END) || ' ' || coalesce(text, '')
+                 ELSE coalesce(text, '') END AS text
+          FROM documents
+        ), ws AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM aug
+        ), segs AS (
+          SELECT doc_id, i AS seg_idx,
+                 array_to_string(
+                   w[i*{seg_len}+1 : least((i+1)*{seg_len}, len(w))], ' ') AS seg
+          FROM (SELECT doc_id, w,
+                       unnest(range(CAST(ceil(len(w)/{seg_len}.0) AS BIGINT))) AS i
+                FROM ws)
+        ), flag AS (
+          SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_idx) = 1 AS keep
+          FROM segs
+        ), agg AS (
+          SELECT doc_id, count(*) AS n_segs,
+                 count(*) FILTER (WHERE keep) AS n_kept,
+                 coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                          FILTER (WHERE keep), '') AS text_clean
+          FROM flag GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_segs, 0) AS BIGINT) AS n_segs,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def pii_scrub_sql() -> str:
+    """PII-scrub twin: regenerates the deterministic PII planting and
+    runs the byte-identical RE2 regexes (count emails → redact emails →
+    count phones → redact phones, same order as the engine)."""
+    from .pipelines.curation import PII_MOD, _EMAIL_RE, _PHONE_RE
+
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 coalesce(text,'')
+                 || CASE WHEN doc_id % {PII_MOD} = 0 THEN
+                      ' contact user' || doc_id || '@mail.example.com or +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+                 || CASE WHEN doc_id % {PII_MOD * 3} = 0 THEN
+                      ' alt user' || doc_id || 'b@mail.example.com'
+                    ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+        FROM aug"""
+
+
+def mix_sample_sql() -> str:
+    """Temperature-resampling twin (default alpha = 0.5): per-language
+    keep probability sqrt(c_min / c_l) — sqrt is correctly-rounded
+    IEEE in both engines so the row sets are bit-identical — and the
+    same md5-little-endian draw as the engine's 'mix|<id>' salt."""
+    id_expr = "'mix|'||CAST(doc_id AS VARCHAR)"
+    draw = f"({_md5_le64(id_expr)} % 4294967296)"
+    return f"""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT min(n) AS n_min FROM c),
+        p AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) AS p
+              FROM c, m)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN p USING (lang)
+        WHERE {draw} < p.p * 4294967296"""
+
+
+def merge_paginated_sql(chars_per_page: int = 11) -> str:
+    """document_merge with the htmltopdf pageLayout analogue: integer
+    ceil-division pagination — no float surface."""
+    return f"""
+        SELECT c_custkey, length(doc) AS doc_len, md5(doc) AS doc_md5,
+               (length(doc) + {chars_per_page - 1}) // {chars_per_page} AS n_pages
+        FROM (
+            SELECT c_custkey,
+                   'Dear ' || c_name || ', your ' || c_mktsegment
+                   || ' account balance is ' || printf('%.2f', c_acctbal)
+                   || '.' AS doc
+            FROM customer
+        )"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -750,4 +858,9 @@ def corpus_oracles() -> dict[str, str]:
         "pack_sequences": pack_sequences_sql(),
         "media_decode_ppm": media_decode_ppm_sql(),
         "range_join_events": range_join_events_sql(),
+        # r4 curation additions (pipelines/curation.py + merge_paginated)
+        "dedup_segments": dedup_segments_sql(),
+        "pii_scrub": pii_scrub_sql(),
+        "mix_sample": mix_sample_sql(),
+        "merge_paginated": merge_paginated_sql(),
     }

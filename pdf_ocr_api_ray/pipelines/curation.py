@@ -267,3 +267,323 @@ def bm25_rank(
 
     reduced = ds.map_batches(score, batch_format="pandas")
     return reduced.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup (C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+# Deterministic duplicate-planting for the segment-dedup corpus: the
+# testdata documents are token streams with no repeated lines (and no
+# newlines), so the operator's SQL twin regenerates this augmentation —
+# every doc_id % SEG_DUP_MOD == 0 document is prepended with one of
+# three shared 10-token boilerplate phrases (picked by doc_id % 3).
+# Production corpora carry their own boilerplate; this stands in for it
+# exactly the way the ANN corpus plants duplicate embeddings.
+SEG_DUP_MOD = 5
+SEG_DUP_PHRASES = (
+    "shared boiler header block alpha one two three four five",
+    "shared boiler header block beta one two three four five",
+    "shared boiler header block gamma one two three four five",
+)
+
+_SEG_IDX_BITS = 21  # ord = doc_id << 21 | seg_idx must stay lexicographic
+
+
+def _augment_boilerplate(texts: pd.Series, ids: np.ndarray) -> pd.Series:
+    texts = texts.fillna("").reset_index(drop=True)
+    mask = (ids % SEG_DUP_MOD) == 0
+    if mask.any():
+        phrases = pd.Series(np.asarray(SEG_DUP_PHRASES, dtype=object)[ids % 3])
+        texts = texts.where(~mask, phrases + " " + texts)
+    return texts
+
+
+def _segments(texts: pd.Series, seg_len: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split each text into consecutive ``seg_len``-token segments (last
+    one ragged). Returns ``(n_segs_per_row, seg_row_idx, seg_strings)``.
+    Vectorized like ``_flat_grams``: one explode + ``seg_len - 1``
+    shifted masked concats — no per-row Python."""
+    counts, row_idx, flat = _flat_grams(texts, 1)
+    n_segs = -(-counts // seg_len)  # ceil
+    if counts.sum() == 0:
+        return n_segs, np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+    row_start = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=row_start[1:])
+    pos = np.arange(len(flat), dtype=np.int64) - row_start[row_idx]
+    starts = np.flatnonzero(pos % seg_len == 0)
+    segs = pd.Series(flat[starts], dtype=object)
+    for j in range(1, seg_len):
+        idx = starts + j
+        ok = idx < len(flat)
+        ok[ok] = pos[idx[ok]] % seg_len == j  # token j of the same segment
+        nxt = pd.Series(np.where(ok, flat[np.minimum(idx, len(flat) - 1)], ""))
+        segs = segs.where(~ok, segs + " " + nxt)
+    return n_segs, row_idx[starts], segs.to_numpy()
+
+
+def _seg_hashes(segs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit md5 identity per segment as two int64 columns (Arrow
+    groupby keys). Segment equality == digest equality under the
+    standard no-md5-collision assumption the oracle shares (it keys on
+    the segment string itself, so a collision would surface as a parity
+    failure)."""
+    import hashlib
+
+    h1 = np.empty(len(segs), dtype=np.int64)
+    h2 = np.empty(len(segs), dtype=np.int64)
+    for i, s in enumerate(segs):
+        d = hashlib.md5(s.encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "little", signed=True)
+        h2[i] = int.from_bytes(d[8:], "little", signed=True)
+    return h1, h2
+
+
+def dedup_segments(
+    sf_dir: str,
+    seg_len: int = 10,
+    num_buckets: int = 256,
+    join_partitions: int = 64,
+):
+    """C4-style segment-level exact dedup: every ``seg_len``-token
+    segment occurrence survives only if it is the corpus-wide FIRST
+    occurrence of that exact segment (ordered by ``(doc_id, seg_idx)``);
+    later occurrences are deleted and each document's text is rebuilt
+    from its surviving segments. Output: one row per document —
+    ``(doc_id, n_segs, n_kept, text_clean)``.
+
+    Scale shape (document text crosses the wire exactly ONCE):
+
+    1. corpus scan → ``(h1, h2, ord)`` per segment occurrence (~24 B;
+       md5 identity, never the segment text);
+    2. winner selection — hash-bucketed groupby + per-bucket vectorized
+       ``drop_duplicates`` (the ``distinct_pairs`` idiom; ``ord`` is the
+       lexicographic ``(doc_id, seg_idx)`` encoding so min == first);
+    3. winners regroup by document bucket into one ``uint32`` index
+       blob per doc (binary payload — Arrow joins reject list columns);
+    4. ONE ``left_outer`` join back to ``documents`` (partitions
+       clamped to cluster CPUs) and a final map re-segments each doc
+       and emits the kept subsequence.
+
+    The boilerplate augmentation (see SEG_DUP_PHRASES) is applied
+    identically by the engine and the DuckDB twin, which keys winners
+    on the raw segment string via ``row_number() OVER (PARTITION BY
+    seg ORDER BY doc_id, seg_idx)``."""
+    from ._util import clamped_join_partitions
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        texts = _augment_boilerplate(df["text"], ids)
+        n_segs, seg_rows, segs = _segments(texts, seg_len)
+        if len(segs) and (n_segs.max() >> _SEG_IDX_BITS):
+            raise ValueError(f"document exceeds 2^{_SEG_IDX_BITS} segments")
+        seg_idx = (
+            np.arange(len(segs), dtype=np.int64)
+            - np.concatenate(([0], np.cumsum(n_segs)[:-1]))[seg_rows]
+        )
+        h1, h2 = _seg_hashes(segs)
+        return pd.DataFrame(
+            {
+                "h1": h1,
+                "h2": h2,
+                "b": (h1 % num_buckets).astype(np.int64),
+                "ord": (ids[seg_rows] << _SEG_IDX_BITS) | seg_idx,
+            }
+        )
+
+    def bucket_winners(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h1", "h2", "ord"]).drop_duplicates(["h1", "h2"])
+        ords = g["ord"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ords >> _SEG_IDX_BITS,
+                "seg_idx": ords & ((1 << _SEG_IDX_BITS) - 1),
+            }
+        )
+
+    winners = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("b")
+        .map_groups(bucket_winners, batch_format="pandas")
+    )
+
+    def pack_kept(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "seg_idx"])
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        idxs = g["seg_idx"].to_numpy(dtype=np.uint32)
+        uniq, starts = np.unique(ids, return_index=True)
+        bounds = np.append(starts, len(ids))
+        return pd.DataFrame(
+            {
+                "doc_id": uniq,
+                "kept_blob": [
+                    idxs[bounds[i] : bounds[i + 1]].tobytes()
+                    for i in range(len(uniq))
+                ],
+            }
+        )
+
+    def add_db(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["db"] = (df["doc_id"] % num_buckets).astype(np.int64)
+        return df
+
+    kept = (
+        winners.map_batches(add_db, batch_format="pandas")
+        .groupby("db")
+        .map_groups(pack_kept, batch_format="pandas")
+    )
+
+    nparts = clamped_join_partitions(join_partitions)
+    # repartition normalizes the zero-COLUMN empty blocks map_groups
+    # emits on small inputs — Arrow's join intermittently fails with
+    # "No match for key field" on them (measured, round 3)
+    joined = ds.join(kept.repartition(nparts), "left_outer", nparts, on=("doc_id",))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        texts = _augment_boilerplate(df["text"], ids)
+        n_segs, seg_rows, segs = _segments(texts, seg_len)
+        seg_start = np.concatenate(([0], np.cumsum(n_segs)))
+        out_kept = np.zeros(len(df), dtype=np.int64)
+        clean = []
+        for i in range(len(df)):
+            blob = df["kept_blob"].iloc[i]
+            if not isinstance(blob, (bytes, bytearray)) or len(blob) == 0:
+                clean.append("")
+                continue
+            k = np.frombuffer(blob, dtype=np.uint32).astype(np.int64)
+            out_kept[i] = len(k)
+            clean.append(" ".join(segs[seg_start[i] + k]))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_segs": n_segs,
+                "n_kept": out_kept,
+                "text_clean": clean,
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Deterministic PII planting (the testdata corpus contains none): every
+# doc_id % 7 == 0 document gets one synthetic email + phone appended,
+# and every doc_id % 21 == 0 additionally a second email — regenerated
+# identically by the SQL twin, exercising 0-, 1- and 2-hit rows.
+PII_MOD = 7
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d-\d{3}-\d{4}"
+
+
+def _plant_pii(texts: pd.Series, ids: np.ndarray) -> pd.Series:
+    texts = texts.fillna("").reset_index(drop=True)
+    idstr = pd.Series(ids.astype(str))
+    suffix = (
+        " contact user" + idstr + "@mail.example.com or +1-555-"
+        + pd.Series((ids % 10000).astype(str)).str.zfill(4)
+    )
+    texts = texts.where(ids % PII_MOD != 0, texts + suffix)
+    alt = " alt user" + idstr + "b@mail.example.com"
+    return texts.where(ids % (PII_MOD * 3) != 0, texts + alt)
+
+
+def pii_scrub(sf_dir: str):
+    """Redact emails and phone numbers from every document. Output: one
+    row per doc — ``(doc_id, n_emails, n_phones, text_redacted)`` with
+    matches replaced by ``<EMAIL>`` / ``<PHONE>`` literals.
+
+    Pure per-batch map (no shuffle, no state): compiled-regex
+    ``Series.str.count`` / ``Series.str.replace`` — embarrassingly
+    parallel at any corpus size. The patterns are RE2-safe so the
+    DuckDB twin runs the byte-identical regexes."""
+    email = re.compile(_EMAIL_RE)
+    phone = re.compile(_PHONE_RE)
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        texts = _plant_pii(df["text"], ids)
+        n_emails = texts.str.count(email).astype(np.int64)
+        red = texts.str.replace(email, "<EMAIL>", regex=True)
+        n_phones = red.str.count(phone).astype(np.int64)
+        red = red.str.replace(phone, "<PHONE>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_emails": n_emails.to_numpy(),
+                "n_phones": n_phones.to_numpy(),
+                "text_redacted": red.to_numpy(),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture resampling
+# ---------------------------------------------------------------------------
+
+_MIX_SALT = "mix"
+
+
+def mix_sample(sf_dir: str, alpha: float = 0.5):
+    """Temperature-resample the corpus toward a flatter language
+    mixture (the multilingual-training rebalancing step): language
+    ``l`` with count ``c_l`` keeps each doc with probability
+    ``(c_min / c_l) ** (1 - alpha)`` — 1.0 for the rarest language,
+    shrinking for dominant ones. Output: the kept ``(doc_id, lang)``
+    rows.
+
+    Two bounded passes: a tiny ``groupby(lang).count()`` (≤ languages
+    rows on the driver) computes the per-language probabilities, then a
+    pure per-row md5 hash draw (same construction as
+    ``sample_stratified``, distinct salt) filters — NO shuffle, no RNG
+    state, resume-stable, reproducible at any parallelism. With the
+    default ``alpha = 0.5`` the probability is ``sqrt(c_min / c_l)``;
+    both numpy and DuckDB ``sqrt`` are correctly-rounded IEEE, so the
+    engine and the SQL twin accept bit-identical row sets."""
+    import hashlib
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    counts = {
+        r["lang"]: r["count()"]
+        for r in ds.groupby("lang").count().take_all()
+    }
+    c_min = min(counts.values())
+
+    def _p(c: int) -> float:
+        ratio = np.float64(c_min) / np.float64(c)
+        # sqrt is correctly-rounded IEEE in both numpy and DuckDB;
+        # libm pow is not — route the default exponent through sqrt
+        if 1.0 - alpha == 0.5:
+            return float(np.sqrt(ratio))
+        return float(ratio ** (1.0 - alpha))
+
+    probs = {lang: _p(c) for lang, c in counts.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        thresh = df["lang"].map(probs).to_numpy(dtype=np.float64)
+        draws = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{_MIX_SALT}|{int(d)}".encode()).digest()[:8],
+                    "little",
+                )
+                & 0xFFFFFFFF
+                for d in df["doc_id"]
+            ),
+            dtype=np.float64,
+            count=len(df),
+        )
+        return df[draws < thresh * 2**32][["doc_id", "lang"]]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -306,11 +306,27 @@ def ocr_postclean(sf_dir: str):
     return ds.map_batches(clean, batch_format="pandas")
 
 
-def document_merge(sf_dir: str):
+def document_merge(
+    sf_dir: str,
+    page_layout: tuple[float, float] | None = None,
+    chars_per_sq_inch: int = 4,
+):
     """Row-to-document templating (the documentmerge sample family,
     src/documentmerge/*): a fixed template rendered per customer row;
     output the rendered document's hash (byte-exact vs the SQL oracle's
-    identical concatenation)."""
+    identical concatenation).
+
+    ``page_layout=(width_in, height_in)`` mirrors the htmltopdf
+    ``PageLayout`` params (reference:
+    src/htmltopdf/html-to-pdf-from-url.js:77-85, an 8 × 11.5 inch
+    page): when set, the rendered document is paginated at
+    ``floor(w × h × chars_per_sq_inch)`` characters per page and an
+    ``n_pages`` column is emitted. Pure integer ceil-division — no
+    float parity surface. The default (None) keeps the long-green
+    driver row's schema unchanged; ``merge_paginated`` is the
+    registered paginating variant (a small synthetic 2 × 3 inch page,
+    because at the reference's 8 × 11.5 in every template render is
+    one page — degenerate for a correctness row)."""
     import hashlib
 
     import ray.data as rd
@@ -318,6 +334,9 @@ def document_merge(sf_dir: str):
     ds = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
     )
+    cpp = None
+    if page_layout is not None:
+        cpp = max(1, int(page_layout[0] * page_layout[1] * chars_per_sq_inch))
 
     def render(df: pd.DataFrame) -> pd.DataFrame:
         rendered = (
@@ -326,15 +345,26 @@ def document_merge(sf_dir: str):
             + " account balance is " + df["c_acctbal"].map("{:.2f}".format)
             + "."
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "c_custkey": df["c_custkey"],
                 "doc_len": rendered.str.len().astype("int64"),
                 "doc_md5": rendered.map(lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()),
             }
         )
+        if cpp is not None:
+            out["n_pages"] = (out["doc_len"] + cpp - 1) // cpp
+        return out
 
     return ds.map_batches(render, batch_format="pandas")
+
+
+def merge_paginated(sf_dir: str):
+    """``document_merge`` with the htmltopdf pageLayout analogue active
+    (see document_merge docstring). The 1 × 2.75 inch synthetic page
+    (11 chars/page) straddles the template's 65-68-char render lengths,
+    so ``n_pages`` is non-degenerate (6 vs 7)."""
+    return document_merge(sf_dir, page_layout=(1.0, 2.75))
 
 
 def token_freq(sf_dir: str, min_count: int = 50):

@@ -104,6 +104,136 @@ def test_bm25_rank_orders_by_relevance(ray_session, tmp_path):
     np.testing.assert_allclose(got["score"].to_numpy()[-2:], 0.0)
 
 
+def test_dedup_segments_global_first_wins(ray_session, tmp_path):
+    from pdf_ocr_api_ray.pipelines.curation import dedup_segments
+
+    seg = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"          # one full segment
+    tail = "t0 t1 t2 t3"
+    # ids avoid %5==0 so no boilerplate augmentation interferes
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, f"{seg} {tail}"),                   # first owner of seg
+            (2, f"{seg} other words here now"),     # loses seg, keeps tail
+            (3, f"{seg} {seg}"),                    # within-doc dup: 2nd loses
+            (4, "tiny doc"),                        # short single segment
+            (6, "tiny doc"),                        # exact dup of 4 → empty
+            (7, ""),                                # empty doc
+        ],
+    )
+    got = (
+        dedup_segments(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == [1, 2, 3, 4, 6, 7]
+    assert got["n_segs"].tolist() == [2, 2, 2, 1, 1, 0]
+    assert got["n_kept"].tolist() == [2, 1, 0, 1, 0, 0]
+    assert got["text_clean"].tolist() == [
+        f"{seg} {tail}",
+        "other words here now",
+        "",                                         # both segments == seg, doc 1 owns it
+        "tiny doc",
+        "",
+        "",
+    ]
+
+
+def test_dedup_segments_boilerplate_augmentation(ray_session, tmp_path):
+    """doc_id % 5 == 0 docs share a planted 10-token phrase (same
+    doc_id % 3 residue → same phrase): the smallest doc_id keeps it,
+    later ones lose exactly that first segment."""
+    from pdf_ocr_api_ray.pipelines.curation import SEG_DUP_PHRASES, dedup_segments
+
+    body_a = "a0 a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    body_b = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    # 10 % 3 == 1 and 25 % 3 == 1 → both get SEG_DUP_PHRASES[1]
+    sf = _write_docs(tmp_path, [(10, body_a), (25, body_b)])
+    got = (
+        dedup_segments(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["n_segs"].tolist() == [2, 2]
+    assert got["n_kept"].tolist() == [2, 1]
+    assert got["text_clean"].tolist() == [
+        f"{SEG_DUP_PHRASES[1]} {body_a}",
+        body_b,
+    ]
+
+
+def test_pii_scrub_planting_and_inline(ray_session, tmp_path):
+    from pdf_ocr_api_ray.pipelines.curation import pii_scrub
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "reach me at alice@corp.example.org today"),  # inline email
+            (2, "no pii in here"),
+            (7, "planted"),                                   # +1 email +1 phone
+            (21, "doubly planted"),                           # +2 emails +1 phone
+        ],
+    )
+    got = (
+        pii_scrub(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["n_emails"].tolist() == [1, 0, 1, 2]
+    assert got["n_phones"].tolist() == [0, 0, 1, 1]
+    assert got["text_redacted"].tolist() == [
+        "reach me at <EMAIL> today",
+        "no pii in here",
+        "planted contact <EMAIL> or <PHONE>",
+        "doubly planted contact <EMAIL> or <PHONE> alt <EMAIL>",
+    ]
+
+
+def test_mix_sample_rarest_lang_fully_kept(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.curation import mix_sample
+
+    n_en = 64
+    rows = [(i, f"text {i}", "en") for i in range(n_en)] + [(100, "rare", "xx")]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array(["s0"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+
+    got = mix_sample(str(tmp_path)).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert 100 in got["doc_id"].tolist()            # p(rarest) == 1.0
+
+    # replicate the draw: p(en) = sqrt(1/64) = 0.125 exactly
+    def u32(d):
+        h = hashlib.md5(f"mix|{d}".encode()).digest()[:8]
+        return int.from_bytes(h, "little") & 0xFFFFFFFF
+
+    expect = sorted(
+        [i for i in range(n_en) if u32(i) < 0.125 * 2**32] + [100]
+    )
+    assert got["doc_id"].tolist() == expect
+
+
+def test_merge_paginated_page_counts(ray_session):
+    from pdf_ocr_api_ray.pipelines.text import document_merge, merge_paginated
+
+    base = document_merge("/root/testdata/sf0.001").to_pandas()
+    assert "n_pages" not in base.columns            # default schema unchanged
+    got = merge_paginated("/root/testdata/sf0.001").to_pandas()
+    assert (got["n_pages"] == (got["doc_len"] + 10) // 11).all()
+    assert got["n_pages"].nunique() >= 2            # non-degenerate
+
+
 def test_bm25_partial_topk_bounds_block_output(ray_session, tmp_path):
     """The per-block partial keeps ≤ k rows: global result over many
     blocks still has exactly k rows and the true best doc survives."""
