@@ -343,7 +343,6 @@ def dedup_segments(
     sf_dir: str,
     seg_len: int = 10,
     num_buckets: int = 256,
-    join_partitions: int = 64,
 ):
     """C4-style segment-level exact dedup: every ``seg_len``-token
     segment occurrence survives only if it is the corpus-wide FIRST
@@ -352,24 +351,28 @@ def dedup_segments(
     from its surviving segments. Output: one row per document —
     ``(doc_id, n_segs, n_kept, text_clean)``.
 
-    Scale shape (document text crosses the wire exactly ONCE):
+    Scale shape — TWO exchanges total, document text crossing the wire
+    exactly ONCE (the asof/union idiom; an earlier draft used
+    pack-blobs + ``Dataset.join`` — four exchanges — and spent 7 of its
+    10 s wall in exchange ramp):
 
     1. corpus scan → ``(h1, h2, ord)`` per segment occurrence (~24 B;
        md5 identity, never the segment text);
     2. winner selection — hash-bucketed groupby + per-bucket vectorized
        ``drop_duplicates`` (the ``distinct_pairs`` idiom; ``ord`` is the
        lexicographic ``(doc_id, seg_idx)`` encoding so min == first);
-    3. winners regroup by document bucket into one ``uint32`` index
-       blob per doc (binary payload — Arrow joins reject list columns);
-    4. ONE ``left_outer`` join back to ``documents`` (partitions
-       clamped to cluster CPUs) and a final map re-segments each doc
-       and emits the kept subsequence.
+    3. winner rows UNION document rows (typed Arrow tables — an
+       all-null pandas column would collapse to Arrow ``null`` and
+       break the union schema), ONE ``doc_id``-bucketed groupby
+       co-locates each doc's text with its surviving segment indices,
+       and the per-bucket rebuild re-segments and emits the kept
+       subsequence.
 
     The boilerplate augmentation (see SEG_DUP_PHRASES) is applied
     identically by the engine and the DuckDB twin, which keys winners
     on the raw segment string via ``row_number() OVER (PARTITION BY
     seg ORDER BY doc_id, seg_idx)``."""
-    from ._util import clamped_join_partitions
+    import pyarrow as pa
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
@@ -393,13 +396,16 @@ def dedup_segments(
             }
         )
 
-    def bucket_winners(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_winners(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["h1", "h2", "ord"]).drop_duplicates(["h1", "h2"])
         ords = g["ord"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
+        ids = ords >> _SEG_IDX_BITS
+        return pa.table(
             {
-                "doc_id": ords >> _SEG_IDX_BITS,
-                "seg_idx": ords & ((1 << _SEG_IDX_BITS) - 1),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "db": pa.array(ids % num_buckets, type=pa.int64()),
+                "seg_idx": pa.array(ords & ((1 << _SEG_IDX_BITS) - 1), type=pa.int64()),
+                "text": pa.nulls(len(ids), type=pa.string()),
             }
         )
 
@@ -409,54 +415,37 @@ def dedup_segments(
         .map_groups(bucket_winners, batch_format="pandas")
     )
 
-    def pack_kept(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["doc_id", "seg_idx"])
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        idxs = g["seg_idx"].to_numpy(dtype=np.uint32)
-        uniq, starts = np.unique(ids, return_index=True)
-        bounds = np.append(starts, len(ids))
-        return pd.DataFrame(
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
             {
-                "doc_id": uniq,
-                "kept_blob": [
-                    idxs[bounds[i] : bounds[i + 1]].tobytes()
-                    for i in range(len(uniq))
-                ],
+                "doc_id": t["doc_id"],
+                "db": pa.array(ids % num_buckets, type=pa.int64()),
+                "seg_idx": pa.array(np.full(len(ids), -1), type=pa.int64()),
+                "text": t["text"],
             }
         )
 
-    def add_db(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["db"] = (df["doc_id"] % num_buckets).astype(np.int64)
-        return df
+    unioned = ds.map_batches(doc_rows, batch_format="pyarrow").union(winners)
 
-    kept = (
-        winners.map_batches(add_db, batch_format="pandas")
-        .groupby("db")
-        .map_groups(pack_kept, batch_format="pandas")
-    )
-
-    nparts = clamped_join_partitions(join_partitions)
-    # repartition normalizes the zero-COLUMN empty blocks map_groups
-    # emits on small inputs — Arrow's join intermittently fails with
-    # "No match for key field" on them (measured, round 3)
-    joined = ds.join(kept.repartition(nparts), "left_outer", nparts, on=("doc_id",))
-
-    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
-        texts = _augment_boilerplate(df["text"], ids)
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        is_doc = group["seg_idx"].to_numpy() < 0
+        docs = group[is_doc]
+        ids = docs["doc_id"].to_numpy(dtype=np.int64)
+        texts = _augment_boilerplate(docs["text"], ids)
         n_segs, seg_rows, segs = _segments(texts, seg_len)
         seg_start = np.concatenate(([0], np.cumsum(n_segs)))
-        out_kept = np.zeros(len(df), dtype=np.int64)
-        clean = []
-        for i in range(len(df)):
-            blob = df["kept_blob"].iloc[i]
-            if not isinstance(blob, (bytes, bytearray)) or len(blob) == 0:
-                clean.append("")
-                continue
-            k = np.frombuffer(blob, dtype=np.uint32).astype(np.int64)
-            out_kept[i] = len(k)
-            clean.append(" ".join(segs[seg_start[i] + k]))
+        # surviving indices per doc: sort winner rows once, slice by doc
+        win = group[~is_doc].sort_values(["doc_id", "seg_idx"])
+        w_ids = win["doc_id"].to_numpy(dtype=np.int64)
+        w_idx = win["seg_idx"].to_numpy(dtype=np.int64)
+        lo = np.searchsorted(w_ids, ids, side="left")
+        hi = np.searchsorted(w_ids, ids, side="right")
+        out_kept = hi - lo
+        clean = [
+            " ".join(segs[seg_start[i] + w_idx[lo[i] : hi[i]]]) if hi[i] > lo[i] else ""
+            for i in range(len(ids))
+        ]
         return pd.DataFrame(
             {
                 "doc_id": ids,
@@ -466,7 +455,7 @@ def dedup_segments(
             }
         )
 
-    return joined.map_batches(rebuild, batch_format="pandas")
+    return unioned.groupby("db").map_groups(rebuild, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
