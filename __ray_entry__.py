@@ -160,14 +160,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles_sketch": events.value_percentiles_sketch,
         "media_decode_ppm": media.media_decode_ppm,
         # relational coverage
+        # r4 THIRD rotation: deterministic epoch shuffle, unigram-LM
+        # familiarity scoring, and the exact KNN graph built this round
+        # swap in for three single-aggregate relational rows green
+        # since r1 (mktsegment_stats, supplier_balance,
+        # orders_outside_segment → rotated_out_queries)
+        "epoch_shuffle": sampling.epoch_shuffle,
+        "token_familiarity": curation.token_familiarity,
+        "knn_graph": similarity.knn_graph,
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
         "top_customers_per_segment": relational.top_customers_per_segment,
         "orders_per_nation": relational.orders_per_nation,
-        "mktsegment_stats": relational.mktsegment_stats,
         "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
-        "supplier_balance": relational.supplier_balance,
-        "orders_outside_segment": relational.orders_outside_segment,
         "latest_order_per_customer": relational.latest_order_per_customer,
         # events / streaming-shaped
         "events_daily": events.events_daily,
@@ -253,6 +258,12 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "rotate_pages": spanops.rotate_pages,
         "insert_pages": spanops.insert_pages,
         "replace_pages": spanops.replace_pages,
+        # r4 third rotation: three r1-green single-aggregate relational
+        # rows made room for epoch_shuffle / token_familiarity /
+        # knn_graph
+        "mktsegment_stats": relational.mktsegment_stats,
+        "supplier_balance": relational.supplier_balance,
+        "orders_outside_segment": relational.orders_outside_segment,
         # driver-ineligible curation surface (see docstring)
         "bm25_rank": curation.bm25_rank,
         "merge_paginated": text.merge_paginated,
@@ -695,5 +706,58 @@ _RELATIONAL_ORACLES = {
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "epoch_shuffle": """
+            -- hex md5 keys compare bytewise in both engines; the Ray
+            -- side derives the same ordinal from 256 bucket offsets +
+            -- an in-bucket sort (bucket = key's most significant byte)
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('epoch|1|' || CAST(doc_id AS VARCHAR))
+                   ) - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
+        "token_familiarity": r"""
+            -- top-512 vocabulary with the engine's exact tie-break
+            -- (count DESC, word ASC); integer sums + one final double
+            -- division per column -> bit-exact parity
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents
+            ), cnt AS (
+                SELECT w, count(*) AS c FROM toks GROUP BY w
+            ), vocab AS (
+                SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 512
+            ), agg AS (
+                SELECT t.doc_id,
+                       count(*) AS n_tokens,
+                       sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                       sum(coalesce(v.c, 0)) AS fam_sum
+                FROM toks t LEFT JOIN vocab v ON t.w = v.w
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN a.n_tokens > 0
+                        THEN CAST(a.n_oov AS DOUBLE) / a.n_tokens END AS oov_frac,
+                   CASE WHEN a.n_tokens > 0
+                        THEN CAST(a.fam_sum AS DOUBLE) / a.n_tokens END AS familiarity
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "knn_graph": """
+            -- rank on round(sim, 9): the same ulp-washing contract the
+            -- long-green ann_topk oracle uses
+            WITH sims AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, rank, neighbor_id FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+                FROM sims
+            ) WHERE rank <= 5
         """,
     }

@@ -576,3 +576,119 @@ def mix_sample(sf_dir: str, alpha: float = 0.5):
         return df[draws < thresh * 2**32][["doc_id", "lang"]]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM familiarity scoring
+
+
+DEFAULT_TOP_V = 512
+
+
+def token_familiarity(sf_dir: str, top_v: int = DEFAULT_TOP_V):
+    """Per-document unigram-LM familiarity against a capped top-``top_v``
+    corpus vocabulary — the cheap LM-free stand-in for perplexity
+    filtering: documents dominated by rare / out-of-vocabulary tokens
+    score low and are quality-filter candidates.
+
+    Output per document: ``(doc_id, n_tokens, n_oov, oov_frac,
+    familiarity)`` where ``familiarity`` is the mean corpus frequency of
+    the doc's in-vocabulary tokens over ALL its tokens and ``oov_frac``
+    the out-of-vocabulary fraction (both NULL for token-less docs).
+
+    Scale shape — the driver never holds the vocabulary:
+
+    1. per-batch partial token counts → vocabulary-sized ``groupby``
+       (the ``token_freq`` idiom: the shuffle carries distinct words,
+       not token occurrences);
+    2. DISTRIBUTED top-V by ``(count DESC, word ASC)`` — per-block
+       partial top-V folded through 32-way and single-block reductions
+       (the ``top_orders`` pattern): ≤ ``top_v`` rows ever reach the
+       driver, broadcast once as parallel sorted numpy arrays
+       (zero-copy out of plasma);
+    3. one stateless scoring scan: flatten each batch's tokens, ONE
+       vectorized ``searchsorted`` lookup, per-row sums via
+       ``bincount``. Counts are integers ≤ 2^53 so the float64 sums are
+       exact and order-independent; the final divisions of exact
+       integers are correctly-rounded IEEE in both engines — the SQL
+       twin (top-V via ``row_number`` with the same tie-break) matches
+       bit-exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].fillna("").str.findall(_TOKEN_RE).explode().value_counts()
+        return pd.DataFrame(
+            {"w": counts.index.astype(str), "partial": counts.values.astype(np.int64)}
+        )
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("partial", alias_name="c"))
+    )
+
+    def local_topv(t: pa.Table) -> pa.Table:
+        if t.num_rows <= top_v:
+            return t
+        idx = pc.select_k_unstable(
+            t, k=top_v, sort_keys=[("c", "descending"), ("w", "ascending")]
+        )
+        return t.take(idx)
+
+    vocab_pd = (
+        agg.map_batches(local_topv, batch_format="pyarrow")
+        .repartition(32)
+        .map_batches(local_topv, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_topv, batch_format="pyarrow")
+        .to_pandas()  # ≤ top_v rows regardless of vocabulary size
+    )
+    if "w" not in vocab_pd.columns:  # empty-Dataset schema loss guard
+        vocab_pd = pd.DataFrame(
+            {"w": pd.Series([], dtype=str), "c": pd.Series([], dtype="int64")}
+        )
+    words = vocab_pd["w"].to_numpy(dtype=str)
+    cnts = vocab_pd["c"].to_numpy(dtype=np.int64)
+    order = np.argsort(words)
+    vocab_ref = ray.put((words[order], cnts[order].astype(np.float64)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vwords, vcnts = ray.get(vocab_ref)
+        n_tok, row_idx, flat = _flat_grams(df["text"].fillna(""), 1)
+        if len(flat):
+            f = flat.astype(str)
+            pos = np.searchsorted(vwords, f)
+            pos_c = np.clip(pos, 0, max(len(vwords) - 1, 0))
+            in_vocab = (
+                (vwords[pos_c] == f) & (pos < len(vwords))
+                if len(vwords)
+                else np.zeros(len(f), dtype=bool)
+            )
+            tok_cnt = np.where(in_vocab, vcnts[pos_c] if len(vwords) else 0.0, 0.0)
+            fam_sum = np.bincount(row_idx, weights=tok_cnt, minlength=len(df))
+            n_oov = np.bincount(
+                row_idx, weights=(~in_vocab).astype(np.float64), minlength=len(df)
+            ).astype(np.int64)
+        else:
+            fam_sum = np.zeros(len(df))
+            n_oov = np.zeros(len(df), dtype=np.int64)
+        denom = n_tok.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            oov_frac = np.where(n_tok > 0, n_oov / denom, np.nan)
+            familiarity = np.where(n_tok > 0, fam_sum / denom, np.nan)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n_tok,
+                "n_oov": n_oov,
+                "oov_frac": oov_frac,
+                "familiarity": familiarity,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

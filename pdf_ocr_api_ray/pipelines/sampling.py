@@ -94,6 +94,87 @@ def group_topk(sf_dir: str, k: int = 5):
     )
 
 
+_EPOCH_SALT = "epoch"
+
+
+def epoch_shuffle(sf_dir: str, seed: int = 1):
+    """Deterministic global training-order shuffle: every document gets
+    an exact global ordinal ``pos`` in the order of
+    ``md5('epoch|<seed>|<doc_id>')`` — the epoch permutation a training
+    loader consumes. Pure function of (seed, doc_id): reproducible
+    across runs, cluster sizes, and resumes; a new seed is a new epoch
+    order with zero state carried over.
+
+    A total order is the semantics, so ONE exchange is unavoidable —
+    but it carries only (doc_id, 32-byte key) identities, never
+    payloads, and no global sort-merge runs:
+
+    1. per-batch bucket counts (bucket = the key's most significant
+       byte, so bucket-major order IS key order) → a 256-row groupby —
+       the driver sees 256 counts, never keys;
+    2. driver cumsums the bucket offsets (bounded metadata);
+    3. one bucketed groupby co-locates each bucket; an in-bucket sort
+       on the full 128-bit key plus the bucket offset yields the exact
+       global ordinal. Full-width keys matter: at 10^12 docs a 64-bit
+       prefix would collide (birthday bound), a 128-bit one does not.
+
+    Output: (doc_id, pos). The DuckDB twin is
+    ``row_number() OVER (ORDER BY md5(...)) - 1`` — hex strings compare
+    bytewise in both engines."""
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def _keys(ids: np.ndarray) -> np.ndarray:
+        return np.array(
+            [
+                hashlib.md5(f"{_EPOCH_SALT}|{seed}|{int(d)}".encode()).hexdigest()
+                for d in ids
+            ],
+            dtype=object,
+        )
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        keys = _keys(df["doc_id"].to_numpy())
+        b = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        return pd.DataFrame({"b": np.arange(256, dtype=np.int64),
+                             "c": np.bincount(b, minlength=256).astype(np.int64)})
+
+    counts = (
+        ds.map_batches(bucket_counts, batch_format="pandas")
+        .groupby("b")
+        .sum("c")
+        .to_pandas()
+    )
+    offsets = np.zeros(256, dtype=np.int64)
+    offsets[counts["b"].to_numpy()] = counts["sum(c)"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        keys = _keys(df["doc_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "b": np.array([int(k[:2], 16) for k in keys], dtype=np.int64),
+                "key": keys,
+            }
+        )
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("key").reset_index(drop=True)
+        base = offsets[int(g["b"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("b")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
 def pack_sequences(sf_dir: str, max_tokens: int = 256, num_buckets: int = 64):
     """Greedy context-window packing — the training-data step that
     concatenates documents into fixed token budgets (one bin ≈ one

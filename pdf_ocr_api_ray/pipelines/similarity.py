@@ -487,3 +487,60 @@ def embedding_near_dup_bruteforce(sf_dir: str, threshold: float = 0.9):
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return ds.map_batches(pairs, batch_format="pandas")
+
+
+def knn_graph(sf_dir: str, k: int = 5):
+    """Exact k-nearest-neighbor graph over the embeddings table: for
+    EVERY vector, its top-``k`` cosine neighbors (self excluded) —
+    the curation primitive behind graph-based clustering and
+    density-based quality scoring. Output: (vec_id, rank, neighbor_id).
+
+    This is the brute-force BASELINE (the exactness anchor the ANN ops
+    are judged against): the corpus matrix is broadcast ONCE via
+    ``ray.put`` (zero-copy numpy out of plasma in every task) and each
+    batch computes one (batch × corpus) matmul + vectorized per-row
+    top-k. Exact all-pairs KNN is inherently O(N²·d) — at 10^9+
+    vectors route the graph through ``ann_topk_ivf``/``ann_topk_lsh``
+    (bucketed, same output contract) instead; this op is bounded by
+    corpus-matrix memory (N × d × 8 B) and is the right tool up to
+    ~10^7 vectors per cluster.
+
+    Rank order is (cosine DESC, neighbor_id ASC); the SQL twin ranks on
+    ``round(sim, 9)`` — the same ulp-washing contract the long-green
+    ``ann_topk`` oracle uses."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    all_ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    corpus_ref = ray.put((all_ids.astype(np.int64), mat))
+
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids_all, corpus = ray.get(corpus_ref)
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sims = vecs @ corpus.T  # (batch, N)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        # exclude self by id (the corpus has unique vec_ids)
+        self_mask = ids[:, None] == ids_all[None, :]
+        sims[self_mask] = -np.inf
+        # per-row top-k: argpartition then exact (sim DESC, id ASC) order
+        part = np.argpartition(-sims, kth=min(k, sims.shape[1] - 1) - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(len(ids)), part.shape[1])
+        cand_s = sims[rows, part.ravel()]
+        cand_i = ids_all[part.ravel()]
+        order = np.lexsort((cand_i, -cand_s, rows))
+        rows_o, cand_i_o = rows[order], cand_i[order]
+        return pd.DataFrame(
+            {
+                "vec_id": ids[rows_o],
+                "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), len(ids)),
+                "neighbor_id": cand_i_o,
+            }
+        )
+
+    return ds.map_batches(batch_topk, batch_format="pandas")

@@ -245,3 +245,71 @@ def test_bm25_partial_topk_bounds_block_output(ray_session, tmp_path):
     got = bm25_rank(sf, k=5).to_pandas()
     assert len(got) == 5
     assert got["doc_id"].iloc[0] == 137
+
+
+def test_token_familiarity_cap_and_empty_doc(ray_session, tmp_path):
+    """A top_v far below the vocabulary keeps cap semantics exact (SQL
+    twin with the same LIMIT + tie-break), tokens outside the cap count
+    as OOV, and a token-less doc scores NULL."""
+    import duckdb
+
+    from pdf_ocr_api_ray.pipelines.curation import token_familiarity
+
+    # 'a' x4, 'b' x3, then c..j once each (ties broken by word ASC)
+    rows = [
+        (0, "a a b c d"),
+        (1, "a b e f g"),
+        (2, "a b h i j"),
+        (3, ""),
+        (4, "a z z z z"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        token_familiarity(sf, top_v=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exp = con.execute(
+        r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+            FROM documents
+        ), cnt AS (
+            SELECT w, count(*) AS c FROM toks GROUP BY w
+        ), vocab AS (
+            SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 3
+        ), agg AS (
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                   sum(coalesce(v.c, 0)) AS fam_sum
+            FROM toks t LEFT JOIN vocab v ON t.w = v.w
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+               CASE WHEN a.n_tokens > 0
+                    THEN CAST(a.n_oov AS DOUBLE) / a.n_tokens END AS oov_frac,
+               CASE WHEN a.n_tokens > 0
+                    THEN CAST(a.fam_sum AS DOUBLE) / a.n_tokens END AS familiarity
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
+
+    # cap semantics by hand: counts a:5, z:4, b:3, c..j:1 → vocab
+    # (count DESC, word ASC, LIMIT 3) = {a:5, z:4, b:3}; doc 4
+    # (a + 4×z) is fully in-vocab: fam = (5 + 4×4) / 5
+    d4 = got[got["doc_id"] == 4].iloc[0]
+    assert d4["n_oov"] == 0 and d4["familiarity"] == (5 + 4 * 4) / 5
+    # doc 0: c, d are OOV under the cap
+    assert got[got["doc_id"] == 0].iloc[0]["n_oov"] == 2
+    # token-less doc: NULL scores
+    d3 = got[got["doc_id"] == 3].iloc[0]
+    assert d3["n_tokens"] == 0 and np.isnan(d3["oov_frac"])

@@ -123,3 +123,24 @@ def test_pack_sequences_matches_recursive_sql(ray_session, con):
     for (bkt, b), row in bad.iterrows():
         members = got[(got["bucket"] == bkt) & (got["bin_id"] == b)].sort_values("doc_id")
         assert members.iloc[0]["n_tokens"] > 256, (bkt, b)
+
+
+def test_epoch_shuffle_is_exact_permutation(ray_session):
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.sampling import epoch_shuffle
+
+    got = epoch_shuffle(SF).to_pandas()
+    n = len(got)
+    assert n > 0
+    # pos is exactly 0..n-1, each once — an exact global permutation
+    assert sorted(got["pos"].tolist()) == list(range(n))
+    assert got["doc_id"].is_unique
+
+    # a different seed is a genuinely different epoch order
+    other = epoch_shuffle(SF, seed=2).to_pandas()
+    a = got.sort_values("doc_id")["pos"].to_numpy()
+    b = other.sort_values("doc_id")["pos"].to_numpy()
+    assert (a != b).mean() > 0.9
+    # ... but still an exact permutation
+    assert np.array_equal(np.sort(b), np.arange(n))

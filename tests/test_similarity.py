@@ -196,3 +196,32 @@ def test_ivf_full_training_same_output_contract(ray_session):
         .sort_values(["probe_id", "rank"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(base, full)
+
+
+def test_knn_graph_planted_duplicate_is_rank1(ray_session, tmp_path):
+    """A planted exact-copy vector must be its twin's rank-1 neighbor
+    in both directions; every vector gets exactly k neighbors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.similarity import knn_graph
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs[31] = vecs[3]  # exact copy pair (3, 31)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 40, pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    got = knn_graph(str(tmp_path), k=4).to_pandas()
+    assert len(got) == 40 * 4
+    assert got.groupby("vec_id").size().eq(4).all()
+    r1 = got[got["rank"] == 1].set_index("vec_id")["neighbor_id"]
+    assert r1[3] == 31 and r1[31] == 3
