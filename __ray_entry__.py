@@ -174,8 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": relational.orders_per_nation,
         "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
         "latest_order_per_customer": relational.latest_order_per_customer,
+        # r4 fourth swap: exact heavy hitters without a vocabulary
+        # shuffle (sketch-then-verify) in for the r1-green events_daily
+        "heavy_hitters": text.heavy_hitters,
         # events / streaming-shaped
-        "events_daily": events.events_daily,
         "events_hopping": events.events_hopping,
         "value_percentiles": events.value_percentiles,
         "running_total": events.running_total,
@@ -264,6 +266,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_stats": relational.mktsegment_stats,
         "supplier_balance": relational.supplier_balance,
         "orders_outside_segment": relational.orders_outside_segment,
+        "events_daily": events.events_daily,
         # driver-ineligible curation surface (see docstring)
         "bm25_rank": curation.bm25_rank,
         "merge_paginated": text.merge_paginated,
@@ -706,6 +709,17 @@ _RELATIONAL_ORACLES = {
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "heavy_hitters": r"""
+            -- phi = 0.001; 'count > phi * total' is one float64
+            -- multiply + compare in both engines -> identical rows
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS w
+                FROM documents
+            ), tot AS (SELECT count(*) AS n FROM toks)
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+            FROM toks, tot GROUP BY w, tot.n
+            HAVING count(*) > 0.001 * tot.n
         """,
         "epoch_shuffle": """
             -- hex md5 keys compare bytewise in both engines; the Ray

@@ -383,3 +383,94 @@ def token_freq(sf_dir: str, min_count: int = 50):
     partials = ds.map_batches(partial_counts, batch_format="pandas")
     out = partials.groupby("word").aggregate(Sum("partial", alias_name="n"))
     return out.filter(expr=f"n >= {min_count}")
+
+
+def heavy_hitters(sf_dir: str, phi: float = 0.001):
+    """EXACT corpus heavy hitters — every token with frequency
+    > ``phi`` × total tokens — WITHOUT a vocabulary-sized shuffle
+    (the scale gap in ``token_freq``: its groupby moves every distinct
+    word; a 100-TB web corpus has billions of them).
+
+    Two bounded passes (the classic sketch-then-verify shape, with the
+    Misra-Gries averaging guarantee):
+
+    1. candidate generation — each batch keeps only tokens whose
+       IN-BATCH count exceeds ``phi`` × batch tokens. Superset
+       guarantee by averaging: a token with global count > phi·N must
+       exceed phi·n_b in at least one batch (if it were ≤ phi·n_b in
+       every batch the sums would contradict). ≤ ⌊1/phi⌋ survivors per
+       batch, so the distinct-candidate collect is bounded by
+       blocks/phi — never the vocabulary;
+    2. verification — candidates broadcast once (sorted numpy array,
+       zero-copy out of plasma); each batch emits exact counts for
+       candidate tokens only plus its token total (≤ |candidates|+1
+       rows per block through one tiny aggregate), and the final
+       filter keeps true counts > phi × exact total.
+
+    Output: (word, n). ``phi × total`` is one float64 multiply in both
+    engines → identical comparison results → bit-exact SQL parity."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
+
+    def local_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].fillna("").str.findall(_TOKEN_RE).explode().value_counts()
+        n_b = int(counts.values.sum())
+        keep = counts[counts.values > phi * n_b]
+        return pd.DataFrame({"w": keep.index.astype(str)})
+
+    cand_pd = (
+        ds.map_batches(local_candidates, batch_format="pandas")
+        .groupby("w")
+        .count()
+        .to_pandas()  # ≤ blocks/phi rows, already distinct
+    )
+    if "w" not in cand_pd.columns:  # empty-Dataset schema loss guard
+        cand_pd = pd.DataFrame({"w": pd.Series([], dtype=str)})
+    cand_ref = ray.put(np.sort(cand_pd["w"].to_numpy(dtype=str)))
+
+    def verify_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        counts = df["text"].fillna("").str.findall(_TOKEN_RE).explode().value_counts()
+        n_b = int(counts.values.sum())
+        words = counts.index.to_numpy(dtype=str)
+        if len(cand) and len(words):
+            pos = np.clip(np.searchsorted(cand, words), 0, len(cand) - 1)
+            hit = cand[pos] == words
+        else:
+            hit = np.zeros(len(words), dtype=bool)
+        # the total travels as a flagged row, not a sentinel word (a
+        # real token could equal any sentinel string)
+        return pd.DataFrame(
+            {
+                "w": np.append(words[hit], ""),
+                "is_total": np.append(
+                    np.zeros(int(hit.sum()), dtype=np.int64), np.int64(1)
+                ),
+                "partial": np.append(
+                    counts.values[hit].astype(np.int64), np.int64(n_b)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(verify_counts, batch_format="pandas")
+        .groupby(["w", "is_total"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .to_pandas()  # ≤ |candidates| + 1 rows
+    )
+    import ray.data as rd
+
+    empty = pd.DataFrame(
+        {"word": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+    )
+    if "w" not in agg.columns:
+        return rd.from_pandas(empty)
+    total = int(agg.loc[agg["is_total"] == 1, "n"].sum())
+    out = agg[(agg["is_total"] == 0) & (agg["n"] > phi * total)]
+    final = pd.DataFrame(
+        {"word": out["w"].astype(str), "n": out["n"].astype("int64")}
+    ).sort_values("word", ignore_index=True)
+    return rd.from_pandas(final if len(final) else empty)

@@ -313,3 +313,57 @@ def test_token_familiarity_cap_and_empty_doc(ray_session, tmp_path):
     # token-less doc: NULL scores
     d3 = got[got["doc_id"] == 3].iloc[0]
     assert d3["n_tokens"] == 0 and np.isnan(d3["oov_frac"])
+
+
+def test_heavy_hitters_verify_pass_filters_local_only(ray_session, tmp_path):
+    """A token that is heavy INSIDE one block but light globally must
+    be produced as a candidate and then rejected by the exact verify
+    pass; output equals the brute-force SQL on any block layout."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import heavy_hitters
+
+    def write(path, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s0"] * len(rows)),
+                "n_chars": pa.array(
+                    [len(r[1] or "") for r in rows], type=pa.int64()
+                ),
+            }
+        )
+        pq.write_table(t, path)
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    # block 1: 'spike' is 10/20 tokens (locally heavy at phi=0.3)
+    write(d / "a.parquet", [(0, " ".join(["spike"] * 10 + ["pad"] * 10))])
+    # block 2: 200 'bulk' tokens dilute spike to 10/220 < 0.3 globally
+    write(d / "b.parquet", [(1, " ".join(["bulk"] * 200))])
+
+    got = heavy_hitters(str(tmp_path), phi=0.3).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/*.parquet')"
+    )
+    exp = con.execute(
+        r"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(coalesce(text,''), '\S+')) AS w
+            FROM documents
+        ), tot AS (SELECT count(*) AS n FROM toks)
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        FROM toks, tot GROUP BY w, tot.n
+        HAVING count(*) > 0.3 * tot.n
+        ORDER BY word
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
+    # the global heavy hitter survives, the local-only spike does not
+    assert got["word"].tolist() == ["bulk"]
