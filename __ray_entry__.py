@@ -177,10 +177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4 fourth swap: exact heavy hitters without a vocabulary
         # shuffle (sketch-then-verify) in for the r1-green events_daily
         "heavy_hitters": text.heavy_hitters,
+        # r4 fifth swap: fixed-size per-language sampling (order
+        # statistic over md5 draws) in for the r1-green running_total
+        "sample_fixed_k": sampling.sample_fixed_k,
         # events / streaming-shaped
         "events_hopping": events.events_hopping,
         "value_percentiles": events.value_percentiles,
-        "running_total": events.running_total,
         "sessionize": events.sessionize,
         "asof_last_order": events.asof_last_order,
         "json_props_stats": events.json_props_stats,
@@ -267,6 +269,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance": relational.supplier_balance,
         "orders_outside_segment": relational.orders_outside_segment,
         "events_daily": events.events_daily,
+        "running_total": events.running_total,
         # driver-ineligible curation surface (see docstring)
         "bm25_rank": curation.bm25_rank,
         "merge_paginated": text.merge_paginated,
@@ -709,6 +712,18 @@ _RELATIONAL_ORACLES = {
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "sample_fixed_k": """
+            -- hex md5 draws compare bytewise in both engines; exactly
+            -- min(k, n_lang) rows per language, k = 10
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('fix|' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 10
         """,
         "heavy_hitters": r"""
             -- phi = 0.001; 'count > phi * total' is one float64

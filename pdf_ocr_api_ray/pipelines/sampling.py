@@ -1,15 +1,18 @@
-"""Sampling / selection operators for training-data curation —
-deterministic stratified sampling (per-language mixture fractions) and
-per-group top-k exemplar selection.
+"""Sampling / selection / ordering operators for training-data
+curation — deterministic stratified sampling (per-language mixture
+fractions), fixed-size per-group sampling, per-group top-k exemplar
+selection, the global epoch shuffle, and context-window packing.
 
-Library ops with DuckDB-oracle pytest gates
-(tests/test_sampling.py) — the driver registry is capped at 50 rows,
-so these are not `queries()` entries.
+All have DuckDB-oracle gates (tests/test_sampling.py +
+tests/test_queries_vs_duckdb.py); most are driver-registry rows since
+the r4 rotations.
 
-Scale design: both are single-scan. Stratified sampling is a pure
-per-row hash filter (no shuffle at all — the id hash IS the random
-draw, reproducible on any worker). Top-k per group pre-reduces each
-batch to ≤ k rows per group before one bounded groupby.
+Scale design: single-scan with bounded pre-reduction. Stratified
+sampling is a pure per-row hash filter (no shuffle at all — the id
+hash IS the random draw, reproducible on any worker); fixed-k and
+top-k pre-reduce each batch to ≤ k rows per group before one bounded
+groupby; the epoch shuffle's one unavoidable exchange carries
+identities only.
 """
 
 from __future__ import annotations
@@ -226,4 +229,52 @@ def pack_sequences(sf_dir: str, max_tokens: int = 256, num_buckets: int = 64):
         ds.map_batches(count_tokens, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pack, batch_format="pandas")
+    )
+
+
+_FIX_SALT = "fix"
+
+
+def sample_fixed_k(sf_dir: str, k: int = 10):
+    """Deterministic FIXED-SIZE per-language sample: exactly
+    ``min(k, n_lang)`` docs per language — the fixed-budget counterpart
+    of ``sample_stratified``'s Bernoulli draw (a training mixture that
+    needs exact per-language counts, e.g. eval-set carving, uses this).
+
+    Distributed reservoir without reservoir state: the sample is the
+    ``k`` SMALLEST md5 draws per language — an order statistic, so each
+    batch pre-reduces to ≤ k rows per language (hex-string draws sort
+    bytewise identically in numpy and SQL) and one bounded groupby
+    finalizes. Deterministic, resume-stable, and independent of
+    block layout. Ties (impossible for md5-distinct ids) break by
+    doc_id. Output: (lang, doc_id).
+
+    SQL twin: ``row_number() OVER (PARTITION BY lang ORDER BY
+    md5('fix|' || doc_id), doc_id) <= k``."""
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def draws(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"].astype("int64"),
+                "draw": [
+                    hashlib.md5(f"{_FIX_SALT}|{int(d)}".encode()).hexdigest()
+                    for d in df["doc_id"]
+                ],
+            }
+        )
+        s = out.sort_values(["draw", "doc_id"])
+        return s.groupby("lang", sort=False).head(k)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["draw", "doc_id"]).head(k)
+        return pd.DataFrame(
+            {"lang": g["lang"], "doc_id": g["doc_id"].astype("int64")}
+        )
+
+    return (
+        ds.map_batches(draws, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
     )

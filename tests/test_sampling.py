@@ -144,3 +144,21 @@ def test_epoch_shuffle_is_exact_permutation(ray_session):
     assert (a != b).mean() > 0.9
     # ... but still an exact permutation
     assert np.array_equal(np.sort(b), np.arange(n))
+
+
+def test_sample_fixed_k_exact_counts(ray_session, con):
+    """Exactly min(k, n_lang) rows per language, stable across runs."""
+    from pdf_ocr_api_ray.pipelines.sampling import sample_fixed_k
+
+    got = sample_fixed_k(SF, k=7).to_pandas()
+    lang_n = con.execute(
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+    ).df().set_index("lang")["n"]
+    sizes = got.groupby("lang").size()
+    for lang, n in lang_n.items():
+        assert sizes.get(lang, 0) == min(7, n), lang
+    # deterministic: a second run draws the identical sample
+    again = sample_fixed_k(SF, k=7).to_pandas()
+    a = got.sort_values(["lang", "doc_id"], ignore_index=True)
+    b = again.sort_values(["lang", "doc_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
