@@ -273,6 +273,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # driver-ineligible curation surface (see docstring)
         "bm25_rank": curation.bm25_rank,
         "merge_paginated": text.merge_paginated,
+        # library op added after the registry reached 50 r4 rows; full
+        # oracle parity through this dict's pytest gate
+        "chunk_documents": curation.chunk_documents,
     }
 
 
@@ -712,6 +715,23 @@ _RELATIONAL_ORACLES = {
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "chunk_documents": r"""
+            -- window 64 / stride 32; DuckDB list slices are 1-based
+            -- inclusive: tokens s..s+63 (0-based) = toks[s+1 : s+64]
+            WITH tokl AS (
+                SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+                FROM documents
+            ), st AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, len(toks), 32)) AS s
+                FROM tokl WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST(s // 32 AS BIGINT) AS chunk_idx,
+                   CAST(least(len(toks) - s, 64) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+            FROM st
         """,
         "sample_fixed_k": """
             -- hex md5 draws compare bytewise in both engines; exactly

@@ -692,3 +692,48 @@ def token_familiarity(sf_dir: str, top_v: int = DEFAULT_TOP_V):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# sliding-window context chunking
+
+
+def chunk_documents(sf_dir: str, window: int = 64, stride: int = 32):
+    """Sliding-window context chunking — the step that turns documents
+    into overlapping training windows (``window`` tokens every
+    ``stride``). A chunk starts at every token offset
+    ``s ∈ {0, stride, 2·stride, …}`` with ``s < n_tokens``; the tail
+    chunk may be short. Token-less docs emit nothing.
+
+    Shuffle-free single scan: chunk identity is a pure function of the
+    row, so output order/content are independent of block layout.
+    Chunk construction slices one flattened token array per batch
+    (``_flat_grams`` layout) — the only per-chunk Python work is the
+    final string join, which is the output payload itself.
+
+    Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, flat = _flat_grams(df["text"].fillna(""), 1)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        doc_start = np.concatenate(([0], np.cumsum(n_tok)))
+        n_chunks = -(-n_tok // stride) * (n_tok > 0)  # ceil, 0 for empty
+        chunk_doc = np.repeat(np.arange(len(df)), n_chunks)
+        # chunk ordinal within its doc (segmented arange)
+        first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        cidx = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(first, n_chunks)
+        starts = doc_start[chunk_doc] + cidx * stride
+        ends = np.minimum(starts + window, doc_start[chunk_doc] + n_tok[chunk_doc])
+        return pd.DataFrame(
+            {
+                "doc_id": ids[chunk_doc],
+                "chunk_idx": cidx,
+                "n_chunk_tokens": (ends - starts).astype(np.int64),
+                "chunk_text": [
+                    " ".join(flat[s:e]) for s, e in zip(starts, ends)
+                ],
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pandas")

@@ -367,3 +367,31 @@ def test_heavy_hitters_verify_pass_filters_local_only(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     # the global heavy hitter survives, the local-only spike does not
     assert got["word"].tolist() == ["bulk"]
+
+
+def test_chunk_documents_overlap_and_tail(ray_session, tmp_path):
+    from pdf_ocr_api_ray.pipelines.curation import chunk_documents
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 toks → starts 0,2,4,6
+            (2, "a b"),                    # one window-covered chunk
+            (3, ""),                       # no chunks
+        ],
+    )
+    got = (
+        chunk_documents(sf, window=4, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == [1, 1, 1, 1, 2]
+    assert got["chunk_idx"].tolist() == [0, 1, 2, 3, 0]
+    assert got["n_chunk_tokens"].tolist() == [4, 4, 3, 1, 2]
+    assert got["chunk_text"].tolist() == [
+        "t0 t1 t2 t3",
+        "t2 t3 t4 t5",
+        "t4 t5 t6",
+        "t6",
+        "a b",
+    ]
