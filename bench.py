@@ -103,7 +103,15 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from pdf_ocr_api_ray.pipelines import dedup, events, relational, similarity, text
+    from pdf_ocr_api_ray.pipelines import (
+        curation,
+        dedup,
+        events,
+        relational,
+        sampling,
+        similarity,
+        text,
+    )
     from pdf_ocr_api_ray.pipelines.extraction import build_extraction
 
     corpus_path, n_docs, n_chunks = build_corpus()
@@ -160,6 +168,11 @@ def run_bench() -> dict:
     timeq("sessionize", events.sessionize, consume="count")
     timeq("running_total", events.running_total, consume="count")
     timeq("asof_last_order", events.asof_last_order, consume="count")
+    # round-4 additions (keys are additive — earlier rounds' BENCH
+    # JSONs stay comparable on the shared keys)
+    timeq("dedup_segments", curation.dedup_segments, consume="count")
+    timeq("heavy_hitters", text.heavy_hitters, consume="count")
+    timeq("epoch_shuffle", sampling.epoch_shuffle, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",
