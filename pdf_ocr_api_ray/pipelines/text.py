@@ -474,3 +474,78 @@ def heavy_hitters(sf_dir: str, phi: float = 0.001):
         {"word": out["w"].astype(str), "n": out["n"].astype("int64")}
     ).sort_values("word", ignore_index=True)
     return rd.from_pandas(final if len(final) else empty)
+
+
+_HLL_P = 12  # 4096 registers → ~1.6% typical relative error
+
+
+def distinct_count_hll(sf_dir: str, p: int = _HLL_P) -> dict:
+    """Approximate DISTINCT-token count via HyperLogLog — the
+    cardinality question ("how many distinct tokens / urls / ids does
+    this corpus hold?") answered WITHOUT a distinct shuffle: an exact
+    `count(DISTINCT w)` moves the whole vocabulary; here every block
+    reduces to ≤ 2^p (register, rank) rows, registers merge by MAX
+    (associative + idempotent — any partition/retry layout gives the
+    SAME registers), and the estimate is computed from ≤ 2^p driver
+    rows. The companion exact op is ``token_freq``; this is the 100-TB
+    first-pass.
+
+    Standard HLL: 64-bit md5 token hash (``dedup._stable64`` — stable
+    across processes), register index = top ``p`` bits, rank = leading
+    zeros of the remainder + 1; alpha_m bias correction + linear
+    counting for the small range. Deterministic: same corpus → same
+    registers → same estimate, any parallelism.
+
+    Returns {"estimate": float, "registers_used": int, "p": int}
+    (a tiny scalar summary, deliberately not a Dataset —
+    tests/test_events_sketch.py-style error-bound gate)."""
+    import numpy as np
+    from ray.data.aggregate import Max
+
+    from .dedup import _tok_hashes
+
+    m = 1 << p
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial_registers(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.findall(_TOKEN_RE)
+        flat = [t for row in toks for t in row]
+        if not flat:
+            return pd.DataFrame(
+                {"reg": pd.Series([], dtype="int64"), "rank": pd.Series([], dtype="int64")}
+            )
+        h = np.unique(_tok_hashes(flat))
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
+        # leading-zero count of the (64-p)-bit remainder + 1 (masked
+        # scan: a hash stops counting at its FIRST set bit)
+        rank = np.zeros(len(h), dtype=np.int64)
+        alive = np.ones(len(h), dtype=bool)
+        cur = rest.copy()
+        for _ in range(64 - p):
+            top_zero = (cur >> np.uint64(63)) == 0
+            rank += (alive & top_zero).astype(np.int64)
+            alive &= top_zero
+            if not alive.any():
+                break
+            cur = cur << np.uint64(1)
+        rank = rank + 1
+        out = pd.DataFrame({"reg": reg, "rank": rank})
+        return out.groupby("reg", as_index=False).max()
+
+    regs = (
+        ds.map_batches(partial_registers, batch_format="pandas")
+        .groupby("reg")
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()  # ≤ 2^p rows
+    )
+    M = np.zeros(m, dtype=np.float64)
+    if "reg" in regs.columns and len(regs):
+        M[regs["reg"].to_numpy(dtype=np.int64)] = regs["rank"].to_numpy(dtype=np.float64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-M))
+    zeros = int((M == 0).sum())
+    if est <= 2.5 * m and zeros:  # linear-counting small-range correction
+        est = m * np.log(m / zeros)
+    return {"estimate": float(est), "registers_used": m - zeros, "p": p}

@@ -190,3 +190,40 @@ def test_json_props_stats_all_null_group(ray_session, tmp_path):
     assert dead["n_events"] == 3
     assert pd.isna(dead["sum_k"]) and pd.isna(dead["max_k"])
     assert live["n_events"] == 2 and live["sum_k"] == 3 and live["max_k"] == 3
+
+
+def test_distinct_count_hll_error_bound(ray_session, tmp_path):
+    """HLL estimate within 5% of the exact distinct-token count in BOTH
+    regimes: the testdata corpus (31 distinct → linear counting) and a
+    planted 50k-token vocabulary (raw HLL estimate path). Registers
+    merge by MAX so the result is independent of block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import distinct_count_hll
+
+    small = distinct_count_hll("/root/testdata/sf0.001")
+    assert abs(small["estimate"] - 31) / 31 < 0.05
+
+    # synthetic: 2,000 docs × 25 unique tokens each = 50,000 distinct
+    rng = np.random.default_rng(11)
+    rows = []
+    tok = 0
+    for d in range(2000):
+        words = [f"w{tok + j:06d}" for j in range(25)]
+        tok += 25
+        rng.shuffle(words)
+        rows.append((d, " ".join(words)))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s0"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    big = distinct_count_hll(str(tmp_path))
+    assert abs(big["estimate"] - 50_000) / 50_000 < 0.05, big
