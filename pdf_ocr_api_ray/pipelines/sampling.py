@@ -135,21 +135,39 @@ def epoch_shuffle(sf_dir: str, seed: int = 1):
             dtype=object,
         )
 
+    cols = [f"c{i}" for i in range(256)]
+
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
         keys = _keys(df["doc_id"].to_numpy())
         b = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
-        return pd.DataFrame({"b": np.arange(256, dtype=np.int64),
-                             "c": np.bincount(b, minlength=256).astype(np.int64)})
+        c = np.bincount(b, minlength=256).astype(np.int64)
+        return pd.DataFrame({cols[i]: [int(c[i])] for i in range(256)})
 
-    counts = (
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # elementwise partial sum — ONE output row per block
+        return df.sum(axis=0).to_frame().T if len(df) else df
+
+    # counts fold stays in-cluster (top_orders pattern): one 256-column
+    # row per block, 32-way then single-block elementwise reduction —
+    # the driver receives exactly one row. (Both Ray-native shapes
+    # measured far worse at sf0.1 for this bounded metadata pass:
+    # groupby("b").sum over 256-row partials ≈ 7 s of aggregator ramp,
+    # Dataset.sum over 256 columns ≈ 8 s — per-column aggregate
+    # machinery; this fold ≈ 2 s, scan-dominated.)
+    folded = (
         ds.map_batches(bucket_counts, batch_format="pandas")
-        .groupby("b")
-        .sum("c")
+        .repartition(32)
+        .map_batches(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
         .to_pandas()
     )
-    offsets = np.zeros(256, dtype=np.int64)
-    offsets[counts["b"].to_numpy()] = counts["sum(c)"].to_numpy()
-    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    per_bucket = (
+        folded[cols].iloc[0].to_numpy(dtype=np.int64)
+        if len(folded)
+        else np.zeros(256, dtype=np.int64)  # empty table
+    )
+    offsets = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
         keys = _keys(df["doc_id"].to_numpy())
