@@ -115,3 +115,45 @@ def round_cols_arrow(ds, cols: dict[str, int]):
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def elementwise_fold(ds, per_batch, combine, dtype, shape):
+    """In-cluster elementwise reduction of a fixed-shape numpy array
+    derived per batch — the bounded-metadata fold for sketch merges
+    (HLL register max, count-min cell sums, bucket-count sums).
+
+    ``per_batch(batch_df) -> np.ndarray`` of ``(dtype, shape)``; arrays
+    travel as single-row byte blobs and reduce with the associative
+    ``combine`` (e.g. ``np.maximum``, ``np.add``) through a 32-way then
+    single-block fold — the driver receives ONE row no matter the block
+    count. Measured motivation: Ray-native shapes for this pass
+    (keyed groupby over ≤4k metadata rows, or ``Dataset.sum`` over
+    hundreds of columns) each cost 7-8 s of fixed aggregator ramp at
+    sf0.1; this fold is scan-dominated.
+
+    Returns the reduced array (zeros if the dataset is empty)."""
+
+    def blob_row(df: pd.DataFrame) -> pd.DataFrame:
+        arr = np.ascontiguousarray(per_batch(df), dtype=dtype)
+        return pd.DataFrame({"blob": [arr.tobytes()]})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        acc = None
+        for b in df["blob"]:
+            a = np.frombuffer(b, dtype=dtype).reshape(shape)
+            acc = a.copy() if acc is None else combine(acc, a)
+        return pd.DataFrame({"blob": [acc.tobytes()]})
+
+    out = (
+        ds.map_batches(blob_row, batch_format="pandas")
+        .repartition(32)
+        .map_batches(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out) or "blob" not in out.columns:
+        return np.zeros(shape, dtype=dtype)
+    return np.frombuffer(out["blob"].iloc[0], dtype=dtype).reshape(shape).copy()

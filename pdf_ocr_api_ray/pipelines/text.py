@@ -484,11 +484,12 @@ def distinct_count_hll(sf_dir: str, p: int = _HLL_P) -> dict:
     cardinality question ("how many distinct tokens / urls / ids does
     this corpus hold?") answered WITHOUT a distinct shuffle: an exact
     `count(DISTINCT w)` moves the whole vocabulary; here every block
-    reduces to ≤ 2^p (register, rank) rows, registers merge by MAX
-    (associative + idempotent — any partition/retry layout gives the
-    SAME registers), and the estimate is computed from ≤ 2^p driver
-    rows. The companion exact op is ``token_freq``; this is the 100-TB
-    first-pass.
+    reduces to ONE 2^p-register blob, registers merge by elementwise
+    MAX (associative + idempotent — any partition/retry layout gives
+    the SAME registers) through the shared in-cluster
+    ``elementwise_fold``, and the estimate is computed from the single
+    merged array. The companion exact op is ``token_freq``; this is the
+    100-TB first-pass.
 
     Standard HLL: 64-bit md5 token hash (``dedup._stable64`` — stable
     across processes), register index = top ``p`` bits, rank = leading
@@ -500,21 +501,20 @@ def distinct_count_hll(sf_dir: str, p: int = _HLL_P) -> dict:
     (a tiny scalar summary, deliberately not a Dataset —
     tests/test_events_sketch.py-style error-bound gate)."""
     import numpy as np
-    from ray.data.aggregate import Max
 
+    from ._util import elementwise_fold
     from .dedup import _tok_hashes
 
     m = 1 << p
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
 
-    def partial_registers(df: pd.DataFrame) -> pd.DataFrame:
+    def batch_registers(df: pd.DataFrame):
+        M = np.zeros(m, dtype=np.int64)
         toks = df["text"].fillna("").str.findall(_TOKEN_RE)
         flat = [t for row in toks for t in row]
         if not flat:
-            return pd.DataFrame(
-                {"reg": pd.Series([], dtype="int64"), "rank": pd.Series([], dtype="int64")}
-            )
+            return M
         h = np.unique(_tok_hashes(flat))
         reg = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
@@ -530,22 +530,85 @@ def distinct_count_hll(sf_dir: str, p: int = _HLL_P) -> dict:
             if not alive.any():
                 break
             cur = cur << np.uint64(1)
-        rank = rank + 1
-        out = pd.DataFrame({"reg": reg, "rank": rank})
-        return out.groupby("reg", as_index=False).max()
+        np.maximum.at(M, reg, rank + 1)
+        return M
 
-    regs = (
-        ds.map_batches(partial_registers, batch_format="pandas")
-        .groupby("reg")
-        .aggregate(Max("rank", alias_name="rank"))
-        .to_pandas()  # ≤ 2^p rows
+    M = elementwise_fold(ds, batch_registers, np.maximum, np.int64, (m,)).astype(
+        np.float64
     )
-    M = np.zeros(m, dtype=np.float64)
-    if "reg" in regs.columns and len(regs):
-        M[regs["reg"].to_numpy(dtype=np.int64)] = regs["rank"].to_numpy(dtype=np.float64)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-M))
     zeros = int((M == 0).sum())
     if est <= 2.5 * m and zeros:  # linear-counting small-range correction
         est = m * np.log(m / zeros)
     return {"estimate": float(est), "registers_used": m - zeros, "p": p}
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048  # per-row cells; eps ≈ e/width ≈ 0.13% of total mass
+
+
+def freq_sketch_cms(sf_dir: str, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> dict:
+    """Count-Min frequency sketch over corpus tokens — point-frequency
+    estimates ("how often does token X occur?") from a fixed
+    ``depth × width`` int64 matrix, WITHOUT the vocabulary shuffle an
+    exact count table needs. Completes the mergeable-sketch family:
+    t-digest (quantiles), HLL (cardinality), CMS (frequency).
+
+    Each batch accumulates its token occurrences into a local matrix
+    (row ``d`` indexes by an 11-bit slice of the stable 64-bit md5 token
+    hash); matrices merge by elementwise ADD through the shared
+    ``elementwise_fold`` (one blob row per block, driver receives one
+    matrix). Associative + commutative → identical sketch on any block
+    layout / retry schedule. Estimates never undercount
+    (``est ≥ true``) and overshoot by at most ``e/width × N`` with
+    probability ``1 − e^-depth`` — the classic CMS bound, pinned in
+    tests.
+
+    Returns {"matrix": ndarray(depth, width), "n_tokens": int,
+    "depth": d, "width": w}; query with ``cms_estimate``."""
+    import numpy as np
+
+    from ._util import elementwise_fold
+    from .dedup import _tok_hashes
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
+
+    def batch_matrix(df: pd.DataFrame):
+        import numpy as np
+
+        m = np.zeros((depth + 1, width), dtype=np.int64)
+        toks = df["text"].fillna("").str.findall(_TOKEN_RE)
+        flat = [t for row in toks for t in row]
+        if flat:
+            h = _tok_hashes(flat)
+            for d in range(depth):
+                idx = ((h >> np.uint64(11 * d)) % np.uint64(width)).astype(np.int64)
+                np.add.at(m[d], idx, 1)
+            m[depth, 0] = len(flat)  # total mass rides the last row
+        return m
+
+    m = elementwise_fold(ds, batch_matrix, np.add, np.int64, (depth + 1, width))
+    return {
+        "matrix": m[:depth],
+        "n_tokens": int(m[depth, 0]),
+        "depth": depth,
+        "width": width,
+    }
+
+
+def cms_estimate(sketch: dict, tokens: list[str]):
+    """Point-frequency estimates (min over depth rows) for each token."""
+    import numpy as np
+
+    from .dedup import _tok_hashes
+
+    if not tokens:
+        return np.zeros(0, dtype=np.int64)
+    h = _tok_hashes(list(tokens))
+    m, depth, width = sketch["matrix"], sketch["depth"], sketch["width"]
+    ests = np.full((depth, len(tokens)), np.iinfo(np.int64).max)
+    for d in range(depth):
+        idx = ((h >> np.uint64(11 * d)) % np.uint64(width)).astype(np.int64)
+        ests[d] = m[d, idx]
+    return ests.min(axis=0)

@@ -227,3 +227,41 @@ def test_distinct_count_hll_error_bound(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "documents.parquet")
     big = distinct_count_hll(str(tmp_path))
     assert abs(big["estimate"] - 50_000) / 50_000 < 0.05, big
+
+
+def test_freq_sketch_cms_bounds(ray_session, tmp_path):
+    """CMS never undercounts; planted heavy tokens estimate exactly in
+    a sparse corpus; overshoot stays within the e/width × N bound."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import cms_estimate, freq_sketch_cms
+
+    # 500 docs: 'alpha' x3 each (1500), 'beta' x1 each (500), plus a
+    # long tail of unique tokens (4 per doc = 2000 singletons)
+    rows = []
+    for d in range(500):
+        tail = " ".join(f"u{d:04d}x{j}" for j in range(4))
+        rows.append((d, f"alpha alpha alpha beta {tail}"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s0"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    sk = freq_sketch_cms(str(tmp_path))
+    assert sk["n_tokens"] == 500 * 8
+    true = {"alpha": 1500, "beta": 500, "u0000x0": 1, "absent-token": 0}
+    est = cms_estimate(sk, list(true))
+    bound = np.e / sk["width"] * sk["n_tokens"]  # ≈ 5.3 here
+    for (tok, n), e in zip(true.items(), est):
+        assert e >= n, (tok, e, n)               # never undercounts
+        assert e <= n + bound, (tok, e, n)       # classic CMS bound
+    # heavy hitters are far above the noise floor → usable rankings
+    assert est[0] > est[1] > est[2]
