@@ -135,38 +135,20 @@ def epoch_shuffle(sf_dir: str, seed: int = 1):
             dtype=object,
         )
 
-    cols = [f"c{i}" for i in range(256)]
+    from ._util import elementwise_fold
 
-    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_counts(df: pd.DataFrame):
         keys = _keys(df["doc_id"].to_numpy())
         b = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
-        c = np.bincount(b, minlength=256).astype(np.int64)
-        return pd.DataFrame({cols[i]: [int(c[i])] for i in range(256)})
+        return np.bincount(b, minlength=256).astype(np.int64)
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        # elementwise partial sum — ONE output row per block
-        return df.sum(axis=0).to_frame().T if len(df) else df
-
-    # counts fold stays in-cluster (top_orders pattern): one 256-column
-    # row per block, 32-way then single-block elementwise reduction —
-    # the driver receives exactly one row. (Both Ray-native shapes
-    # measured far worse at sf0.1 for this bounded metadata pass:
-    # groupby("b").sum over 256-row partials ≈ 7 s of aggregator ramp,
-    # Dataset.sum over 256 columns ≈ 8 s — per-column aggregate
-    # machinery; this fold ≈ 2 s, scan-dominated.)
-    folded = (
-        ds.map_batches(bucket_counts, batch_format="pandas")
-        .repartition(32)
-        .map_batches(fold, batch_format="pandas")
-        .repartition(1)
-        .map_batches(fold, batch_format="pandas")
-        .to_pandas()
-    )
-    per_bucket = (
-        folded[cols].iloc[0].to_numpy(dtype=np.int64)
-        if len(folded)
-        else np.zeros(256, dtype=np.int64)  # empty table
-    )
+    # counts merge in-cluster via the shared sketch fold — the driver
+    # receives ONE 256-count row. (Both Ray-native shapes measured far
+    # worse at sf0.1 for this bounded metadata pass: groupby("b").sum
+    # over 256-row partials ≈ 7 s of aggregator ramp, Dataset.sum over
+    # 256 columns ≈ 8 s of per-column machinery; the fold is
+    # scan-dominated.)
+    per_bucket = elementwise_fold(ds, bucket_counts, np.add, np.int64, (256,))
     offsets = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
