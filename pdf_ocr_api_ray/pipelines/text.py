@@ -402,16 +402,18 @@ def heavy_hitters(sf_dir: str, phi: float = 0.001):
        batch, so the distinct-candidate collect is bounded by
        blocks/phi — never the vocabulary;
     2. verification — candidates broadcast once (sorted numpy array,
-       zero-copy out of plasma); each batch emits exact counts for
-       candidate tokens only plus its token total (≤ |candidates|+1
-       rows per block through one tiny aggregate), and the final
-       filter keeps true counts > phi × exact total.
+       zero-copy out of plasma); each batch reduces to ONE
+       ``|candidates|+1``-long exact-count vector (last slot = batch
+       token total) merged by the shared in-cluster ``elementwise_fold``
+       ADD — no keyed exchange at all — and the final filter keeps true
+       counts > phi × exact total.
 
     Output: (word, n). ``phi × total`` is one float64 multiply in both
     engines → identical comparison results → bit-exact SQL parity."""
     import numpy as np
     import ray
-    from ray.data.aggregate import Sum
+
+    from ._util import elementwise_fold
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
 
@@ -429,51 +431,35 @@ def heavy_hitters(sf_dir: str, phi: float = 0.001):
     )
     if "w" not in cand_pd.columns:  # empty-Dataset schema loss guard
         cand_pd = pd.DataFrame({"w": pd.Series([], dtype=str)})
-    cand_ref = ray.put(np.sort(cand_pd["w"].to_numpy(dtype=str)))
+    cand = np.sort(cand_pd["w"].to_numpy(dtype=str))
+    cand_ref = ray.put(cand)
+    nc = len(cand)
 
-    def verify_counts(df: pd.DataFrame) -> pd.DataFrame:
-        cand = ray.get(cand_ref)
+    def verify_vector(df: pd.DataFrame):
+        cands = ray.get(cand_ref)
+        vec = np.zeros(nc + 1, dtype=np.int64)
         counts = df["text"].fillna("").str.findall(_TOKEN_RE).explode().value_counts()
-        n_b = int(counts.values.sum())
+        vec[nc] = int(counts.values.sum())  # batch token total, last slot
         words = counts.index.to_numpy(dtype=str)
-        if len(cand) and len(words):
-            pos = np.clip(np.searchsorted(cand, words), 0, len(cand) - 1)
-            hit = cand[pos] == words
-        else:
-            hit = np.zeros(len(words), dtype=bool)
-        # the total travels as a flagged row, not a sentinel word (a
-        # real token could equal any sentinel string)
-        return pd.DataFrame(
-            {
-                "w": np.append(words[hit], ""),
-                "is_total": np.append(
-                    np.zeros(int(hit.sum()), dtype=np.int64), np.int64(1)
-                ),
-                "partial": np.append(
-                    counts.values[hit].astype(np.int64), np.int64(n_b)
-                ),
-            }
-        )
+        if nc and len(words):
+            pos = np.clip(np.searchsorted(cands, words), 0, nc - 1)
+            hit = cands[pos] == words
+            np.add.at(vec, pos[hit], counts.values[hit].astype(np.int64))
+        return vec
 
-    agg = (
-        ds.map_batches(verify_counts, batch_format="pandas")
-        .groupby(["w", "is_total"])
-        .aggregate(Sum("partial", alias_name="n"))
-        .to_pandas()  # ≤ |candidates| + 1 rows
-    )
+    vec = elementwise_fold(ds, verify_vector, np.add, np.int64, (nc + 1,))
     import ray.data as rd
 
-    empty = pd.DataFrame(
-        {"word": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
-    )
-    if "w" not in agg.columns:
-        return rd.from_pandas(empty)
-    total = int(agg.loc[agg["is_total"] == 1, "n"].sum())
-    out = agg[(agg["is_total"] == 0) & (agg["n"] > phi * total)]
+    total = int(vec[nc])
+    keep = vec[:nc] > phi * total
     final = pd.DataFrame(
-        {"word": out["w"].astype(str), "n": out["n"].astype("int64")}
+        {"word": cand[keep].astype(str), "n": vec[:nc][keep]}
     ).sort_values("word", ignore_index=True)
-    return rd.from_pandas(final if len(final) else empty)
+    if not len(final):
+        final = pd.DataFrame(
+            {"word": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+        )
+    return rd.from_pandas(final)
 
 
 _HLL_P = 12  # 4096 registers → ~1.6% typical relative error
