@@ -278,3 +278,93 @@ def sample_fixed_k(sf_dir: str, k: int = 10):
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def write_epoch_shards(
+    sf_dir: str,
+    out_dir: str,
+    num_shards: int = 16,
+    seed: int = 1,
+):
+    """Resumable epoch-ordered training-shard output: documents land in
+    ``num_shards`` parquet shards such that reading the shard files in
+    name order, rows in file order, replays EXACTLY the
+    ``epoch_shuffle`` permutation (shard = key's most-significant-byte
+    range, rows sorted by full key within a shard).
+
+    ONE exchange total — text moves once into its shard bucket; the
+    per-shard write happens inside the group function with an atomic
+    tmp→rename, so a killed run leaves only complete shards. A re-run
+    SKIPS every shard whose directory exists (shard membership is a
+    pure function of (seed, doc_id): resume-stable by construction) and
+    rewrites only the missing ones; the returned summary + the manifest
+    record per-shard lineage (n_docs, wall, skip/write).
+
+    Output layout: ``out_dir/shard=SSSSS/part.parquet`` with columns
+    (doc_id, key, text)."""
+    import json
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if 256 % num_shards:
+        raise ValueError("num_shards must divide 256 (shard = key-byte range)")
+    per = 256 // num_shards
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        keys = np.array(
+            [
+                hashlib.md5(f"{_EPOCH_SALT}|{seed}|{int(d)}".encode()).hexdigest()
+                for d in ids
+            ],
+            dtype=object,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "key": keys,
+                "text": df["text"],
+                "shard": np.array(
+                    [int(k[:2], 16) // per for k in keys], dtype=np.int64
+                ),
+            }
+        )
+
+    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
+        s = int(group["shard"].iloc[0])
+        final_dir = os.path.join(out_dir, f"shard={s:05d}")
+        if os.path.exists(final_dir):  # completed by an earlier run
+            return pd.DataFrame(
+                {"shard": [s], "n_docs": [len(group)], "status": ["skipped"],
+                 "wall_s": [0.0]}
+            )
+        t0 = time.time()
+        g = group.sort_values("key")
+        tmp_dir = final_dir + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(g[["doc_id", "key", "text"]], preserve_index=False),
+            os.path.join(tmp_dir, "part.parquet"),
+        )
+        os.rename(tmp_dir, final_dir)
+        return pd.DataFrame(
+            {"shard": [s], "n_docs": [len(g)], "status": ["written"],
+             "wall_s": [round(time.time() - t0, 3)]}
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    summary = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
+        for r in summary.to_dict("records"):
+            f.write(json.dumps({**r, "seed": seed, "at": time.time()}) + "\n")
+    return summary.sort_values("shard", ignore_index=True)

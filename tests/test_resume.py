@@ -229,3 +229,58 @@ def test_resume_hash_mode_input_growth_fails_fast(ray_session, depara, tmp_path)
     pq.write_table(tbl.slice(0, 2), str(in_dir / "shard-001.parquet"))
     with pytest.raises(ValueError, match="listing"):
         run_checkpointed(str(in_dir), out_dir, num_partitions=4, depara=depara)
+
+
+def test_write_epoch_shards_order_and_resume(ray_session, tmp_path):
+    """Shard files read in name order replay the epoch_shuffle
+    permutation exactly; a second run skips every existing shard
+    (bytes untouched) and a partially-written run completes to the
+    identical output."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.sampling import epoch_shuffle, write_epoch_shards
+
+    sf = "/root/testdata/sf0.001"
+
+    out_a = str(tmp_path / "a")
+    s1 = write_epoch_shards(sf, out_a, num_shards=8)
+    assert (s1["status"] == "written").all()
+    assert s1["n_docs"].sum() == 500
+
+    # concatenated shard order == epoch permutation
+    shard_dirs = sorted(
+        d for d in os.listdir(out_a) if d.startswith("shard=")
+    )
+    ids_in_order = []
+    for d in shard_dirs:
+        t = pq.read_table(os.path.join(out_a, d, "part.parquet"))
+        ids_in_order.extend(t["doc_id"].to_pylist())
+    pos = epoch_shuffle(sf).to_pandas().sort_values("pos")
+    assert ids_in_order == pos["doc_id"].tolist()
+
+    # full re-run: everything skipped, bytes untouched
+    f0 = os.path.join(out_a, shard_dirs[0], "part.parquet")
+    before = open(f0, "rb").read()
+    s2 = write_epoch_shards(sf, out_a, num_shards=8)
+    assert (s2["status"] == "skipped").all()
+    assert open(f0, "rb").read() == before
+
+    # crash simulation: seed dir b with ONLY shard 0 from run a, then
+    # run — shard 0 skips, the rest write, output ≡ run a
+    out_b = str(tmp_path / "b")
+    os.makedirs(out_b)
+    import shutil
+
+    shutil.copytree(
+        os.path.join(out_a, shard_dirs[0]), os.path.join(out_b, shard_dirs[0])
+    )
+    s3 = write_epoch_shards(sf, out_b, num_shards=8).set_index("shard")
+    assert s3.loc[0, "status"] == "skipped"
+    assert (s3.drop(index=0)["status"] == "written").all()
+    for d in shard_dirs:
+        ta = pq.read_table(os.path.join(out_a, d, "part.parquet"))
+        tb = pq.read_table(os.path.join(out_b, d, "part.parquet"))
+        assert ta.equals(tb), d
