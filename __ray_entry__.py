@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         prep,
         dedup,
         events,
+        htmlx,
         media,
         relational,
         sampling,
@@ -172,7 +173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "top_customers_per_segment": relational.top_customers_per_segment,
         "orders_per_nation": relational.orders_per_nation,
-        "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
+        # r4 sixth swap: HTML main-content extraction (the north-rule
+        # "HTML boilerplate strip / DOM heuristics" capability) in for
+        # the r1-green single-aggregate revenue_by_returnflag_1995
+        "extract_main_content": htmlx.extract_main_content,
         "latest_order_per_customer": relational.latest_order_per_customer,
         # r4 fourth swap: exact heavy hitters without a vocabulary
         # shuffle (sketch-then-verify) in for the r1-green events_daily
@@ -268,6 +272,8 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_stats": relational.mktsegment_stats,
         "supplier_balance": relational.supplier_balance,
         "orders_outside_segment": relational.orders_outside_segment,
+        # r4 sixth rotation: made room for extract_main_content
+        "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
         "events_daily": events.events_daily,
         "running_total": events.running_total,
         # driver-ineligible curation surface (see docstring)
@@ -732,6 +738,60 @@ _RELATIONAL_ORACLES = {
                    CAST(least(len(toks) - s, 64) AS BIGINT) AS n_chunk_tokens,
                    array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
             FROM st
+        """,
+        "extract_main_content": r"""
+            -- regenerates the deterministic synthesized page's block
+            -- verdicts from raw text: 12-token <p> segments (every 4th
+            -- carries the 8-char 'see note' inline anchor), banner
+            -- variant by doc_id % 3 (only variant 2 survives the
+            -- generic rules), nav/aside/footer always dropped. Keep
+            -- rule is pure integers: words >= 6 AND 3*anchor_chars <=
+            -- length(visible) -- identical arithmetic to the engine.
+            WITH tokl AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+                FROM documents
+            ), segs AS (
+                SELECT doc_id,
+                       CAST(s // 12 AS BIGINT) AS seg_idx,
+                       least(len(toks) - s, 12) AS n_seg_toks,
+                       array_to_string(toks[s + 1 : s + 12], ' ') AS seg
+                FROM (
+                    SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS s
+                    FROM tokl WHERE len(toks) > 0
+                )
+            ), vis AS (
+                SELECT doc_id, seg_idx,
+                       CASE WHEN seg_idx % 4 = 0 THEN seg || ' see note'
+                            ELSE seg END AS visible,
+                       n_seg_toks
+                       + CASE WHEN seg_idx % 4 = 0 THEN 2 ELSE 0 END AS words,
+                       CASE WHEN seg_idx % 4 = 0 THEN 8 ELSE 0 END AS anchor_chars
+                FROM segs
+            ), kept AS (
+                SELECT doc_id, seg_idx, visible FROM vis
+                WHERE words >= 6 AND 3 * anchor_chars <= length(visible)
+            ), mains AS (
+                SELECT doc_id,
+                       string_agg(visible, chr(10) ORDER BY seg_idx) AS seg_text,
+                       count(*) AS n_seg_kept
+                FROM kept GROUP BY doc_id
+            ), nseg AS (
+                SELECT doc_id, (len(toks) + 11) // 12 AS n_segs FROM tokl
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 3 = 2 THEN
+                            'This archived page is provided for reference purposes only.'
+                            || CASE WHEN m.seg_text IS NULL THEN ''
+                                    ELSE chr(10) || m.seg_text END
+                        ELSE coalesce(m.seg_text, '') END AS main_text,
+                   CAST(4 + n.n_segs AS BIGINT) AS n_blocks,
+                   CAST(coalesce(m.n_seg_kept, 0)
+                        + CASE WHEN d.doc_id % 3 = 2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_kept
+            FROM documents d
+            JOIN nseg n USING (doc_id)
+            LEFT JOIN mains m USING (doc_id)
         """,
         "sample_fixed_k": """
             -- hex md5 draws compare bytewise in both engines; exactly
