@@ -171,7 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": similarity.knn_graph,
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
-        "top_customers_per_segment": relational.top_customers_per_segment,
+        # r4 seventh swap: incremental dedup (new-crawl increment vs an
+        # existing corpus — Bloom-fold + exact verify) in for the
+        # r1-green top_customers_per_segment
+        "dedup_incremental": dedup.dedup_incremental,
         "orders_per_nation": relational.orders_per_nation,
         # r4 sixth swap: HTML main-content extraction (the north-rule
         # "HTML boilerplate strip / DOM heuristics" capability) in for
@@ -274,6 +277,8 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "orders_outside_segment": relational.orders_outside_segment,
         # r4 sixth rotation: made room for extract_main_content
         "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
+        # r4 seventh rotation: made room for dedup_incremental
+        "top_customers_per_segment": relational.top_customers_per_segment,
         "events_daily": events.events_daily,
         "running_total": events.running_total,
         # driver-ineligible curation surface (see docstring)
@@ -527,6 +532,22 @@ _RELATIONAL_ORACLES = {
                    min(doc_id) AS survivor_id,
                    count(*) AS n_copies
             FROM corpus GROUP BY md5(text)
+        """,
+        "dedup_incremental": r"""
+            -- increment = planted copies (exact -> dropped) + mutated
+            -- copies (new content -> kept); exact anti-join semantics
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, regexp_replace(text, '^(\S+)', '\1 \1')
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            base AS (SELECT * FROM corpus WHERE doc_id < 1000000),
+            newd AS (SELECT * FROM corpus WHERE doc_id >= 1000000)
+            SELECT n.doc_id FROM newd n
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = n.text)
         """,
         "ngram_jaccard_pairs": r"""
             WITH tok AS (

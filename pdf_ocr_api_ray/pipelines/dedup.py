@@ -802,3 +802,175 @@ def dedup_clusters(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new crawl increment vs an existing corpus
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # default filter size (128 KiB) — size to the BASE corpus
+
+
+def _md5_digests(texts: pd.Series) -> list[bytes]:
+    """16-byte content digests — the per-row kernel this operator family
+    already pays in dedup_exact (the md5 IS the content identity)."""
+    return [hashlib.md5(t.encode("utf-8")).digest() for t in texts.fillna("")]
+
+
+def _probe_positions(digs: list[bytes], m_bits: int) -> np.ndarray:
+    """(n, 4) Bloom probe positions: the md5's four big-endian uint32
+    words mod m — k=4 independent probes per document, zero extra
+    hashing (vectorized reinterpret of the digests)."""
+    if not digs:
+        return np.empty((0, 4), dtype=np.int64)
+    arr = np.frombuffer(b"".join(digs), dtype=">u4").reshape(-1, 4)
+    return (arr % np.uint32(m_bits)).astype(np.int64)
+
+
+def dedup_incremental(sf_dir: str, mode: str = "bloom", m_bits: int = BLOOM_BITS):
+    """Deduplicate a NEW crawl increment against an EXISTING corpus —
+    the steady-state shape of production dedup (you do not re-shuffle
+    100 TB of history to admit a 1 TB increment). Stand-in split over
+    the augmented corpus (same arithmetic the SQL twin regenerates):
+    base = the original documents; increment = the planted exact copies
+    (dropped — their content exists in base) plus the mutated copies
+    (kept — genuinely new content). Output: the surviving increment's
+    (doc_id) rows. EXACT in both modes; bit-equal across modes (test).
+
+    ``mode='bloom'`` (default — bounded increments, base scan-only):
+    1. OR-fold a Bloom filter over base content digests through
+       ``elementwise_fold`` (each block contributes one m/8-byte blob;
+       the driver receives ONE row);
+    2. probe the broadcast filter over the increment — hits are a
+       guaranteed *superset* of true duplicates (Bloom has no false
+       negatives); the driver collects only candidate (doc_id, digest)
+       rows, bounded by |true dups| + fp·|increment|;
+    3. exactness pass: a presence-vector OR-fold over base confirms
+       which candidate digests actually occur (false positives die
+       here — the same sketch-then-verify shape as heavy_hitters);
+    4. one increment scan drops confirmed duplicates via a broadcast
+       sorted id array.
+    No keyed exchange anywhere. Size ``m_bits`` ≈ 1.44·|base|·log2(1/ε)
+    bits: 10⁹ base docs at 1 % fp ≈ 1.2 GiB — still broadcastable.
+
+    ``mode='antijoin'`` (the 10¹²-base path): when the filter itself
+    outgrows broadcast, fall back to a hash-partitioned anti-join —
+    distinct base digests (hash groupby) left-join the increment's
+    digests; unmatched rows survive. Two keyed exchanges carrying
+    (digest, id) only; text never moves."""
+    import ray
+
+    from ._util import clamped_join_partitions, elementwise_fold
+
+    aug = _augmented_documents(sf_dir, mutated=True)
+    base = aug.map_batches(
+        lambda df: df[df["doc_id"] < 1_000_000], batch_format="pandas"
+    )
+    newd = aug.map_batches(
+        lambda df: df[df["doc_id"] >= 1_000_000], batch_format="pandas"
+    )
+
+    if mode == "antijoin":
+        from ray.data.aggregate import Count
+
+        def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+            digs = _md5_digests(df["text"])
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                    "h": pd.array([d.hex() for d in digs], dtype="string"),
+                }
+            )
+
+        nparts = clamped_join_partitions(16)
+        base_h = (
+            base.map_batches(hash_rows, batch_format="pandas")
+            .groupby("h")
+            .aggregate(Count(alias_name="n_base"))
+            .repartition(nparts)
+        )
+        new_h = newd.map_batches(hash_rows, batch_format="pandas").repartition(nparts)
+        joined = new_h.join(base_h, "left_outer", nparts, on=("h",))
+        return joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(
+                        t["doc_id"].combine_chunks(), pa.int64()
+                    )
+                }
+            ).filter(pc.is_null(t["n_base"].combine_chunks())),
+            batch_format="pyarrow",
+        )
+
+    if mode != "bloom":
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    def bloom_batch(df: pd.DataFrame) -> np.ndarray:
+        pos = _probe_positions(_md5_digests(df["text"]), m_bits)
+        arr = np.zeros(m_bits // 8, dtype=np.uint8)
+        if pos.size:
+            p = pos.ravel()
+            np.bitwise_or.at(arr, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        return arr
+
+    bloom = elementwise_fold(
+        base, bloom_batch, np.bitwise_or, np.uint8, (m_bits // 8,)
+    )
+    bloom_ref = ray.put(bloom)  # numpy: zero-copy reads on every worker
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bloom_ref)
+        digs = _md5_digests(df["text"])
+        pos = _probe_positions(digs, m_bits)
+        hit = (((b[pos >> 3] >> (pos & 7)) & 1) == 1).all(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[hit],
+                "dig": np.asarray(digs, dtype=object)[hit],
+            }
+        )
+
+    cand = newd.map_batches(probe, batch_format="pandas").to_pandas()
+
+    if len(cand):
+        slot = {d: i for i, d in enumerate(dict.fromkeys(cand["dig"]))}
+        slot_ref = ray.put(slot)
+        _slot_cache: dict = {}
+
+        def present_batch(df: pd.DataFrame) -> np.ndarray:
+            # non-numpy plasma objects re-deserialize per get — cache
+            # the dict once per worker (same fix as pairs._verify)
+            index = _slot_cache.get("s")
+            if index is None:
+                index = _slot_cache["s"] = ray.get(slot_ref)
+            v = np.zeros(len(index), dtype=np.uint8)
+            for d in _md5_digests(df["text"]):
+                j = index.get(d)
+                if j is not None:
+                    v[j] = 1
+            return v
+
+        present = elementwise_fold(
+            base, present_batch, np.maximum, np.uint8, (len(slot),)
+        )
+        confirmed = {d for d, i in slot.items() if present[i]}
+        dup_ids = np.sort(
+            cand["doc_id"].to_numpy(dtype=np.int64)[
+                np.fromiter((d in confirmed for d in cand["dig"]), dtype=bool, count=len(cand))
+            ]
+        )
+    else:
+        dup_ids = np.empty(0, dtype=np.int64)
+    dup_ref = ray.put(dup_ids)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        dup = ray.get(dup_ref)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        if len(dup):
+            j = np.searchsorted(dup, ids)
+            isdup = (j < len(dup)) & (dup[np.minimum(j, len(dup) - 1)] == ids)
+        else:
+            isdup = np.zeros(len(ids), dtype=bool)
+        return pd.DataFrame({"doc_id": ids[~isdup]})
+
+    return newd.map_batches(keep, batch_format="pandas")
