@@ -107,6 +107,7 @@ def run_bench() -> dict:
         curation,
         dedup,
         events,
+        htmlx,
         relational,
         sampling,
         similarity,
@@ -173,6 +174,8 @@ def run_bench() -> dict:
     timeq("dedup_segments", curation.dedup_segments, consume="count")
     timeq("heavy_hitters", text.heavy_hitters, consume="count")
     timeq("epoch_shuffle", sampling.epoch_shuffle, consume="count")
+    timeq("extract_main_content", htmlx.extract_main_content, consume="count")
+    timeq("dedup_incremental", dedup.dedup_incremental, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",
