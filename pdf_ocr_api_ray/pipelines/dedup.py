@@ -891,16 +891,17 @@ def dedup_incremental(sf_dir: str, mode: str = "bloom", m_bits: int = BLOOM_BITS
         )
         new_h = newd.map_batches(hash_rows, batch_format="pandas").repartition(nparts)
         joined = new_h.join(base_h, "left_outer", nparts, on=("h",))
-        return joined.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": pc.cast(
-                        t["doc_id"].combine_chunks(), pa.int64()
-                    )
-                }
-            ).filter(pc.is_null(t["n_base"].combine_chunks())),
-            batch_format="pyarrow",
-        )
+
+        def survivors(t: pa.Table) -> pa.Table:
+            # small-data joins can emit zero-COLUMN empty blocks (the
+            # recorded map_groups/aggregate Arrow quirk) — normalize
+            if t.num_rows == 0 or "doc_id" not in t.column_names:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            return pa.table(
+                {"doc_id": pc.cast(t["doc_id"].combine_chunks(), pa.int64())}
+            ).filter(pc.is_null(t["n_base"].combine_chunks()))
+
+        return joined.map_batches(survivors, batch_format="pyarrow")
 
     if mode != "bloom":
         raise ValueError(f"unknown mode: {mode!r}")

@@ -351,7 +351,18 @@ def write_epoch_shards(
             pa.Table.from_pandas(g[["doc_id", "key", "text"]], preserve_index=False),
             os.path.join(tmp_dir, "part.parquet"),
         )
-        os.rename(tmp_dir, final_dir)
+        try:
+            os.rename(tmp_dir, final_dir)
+        except OSError:
+            # a speculative retry of this task lost the rename race —
+            # the shard content is a pure function of (seed, members),
+            # so the winner's bytes are identical; treat as completed
+            if not os.path.exists(final_dir):
+                raise
+            return pd.DataFrame(
+                {"shard": [s], "n_docs": [len(g)], "status": ["skipped"],
+                 "wall_s": [0.0]}
+            )
         return pd.DataFrame(
             {"shard": [s], "n_docs": [len(g)], "status": ["written"],
              "wall_s": [round(time.time() - t0, 3)]}
