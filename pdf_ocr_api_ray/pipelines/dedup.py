@@ -863,33 +863,41 @@ def dedup_incremental(sf_dir: str, mode: str = "bloom", m_bits: int = BLOOM_BITS
     from ._util import clamped_join_partitions, elementwise_fold
 
     aug = _augmented_documents(sf_dir, mutated=True)
-    base = aug.map_batches(
-        lambda df: df[df["doc_id"] < 1_000_000], batch_format="pandas"
+
+    # ONE text scan total: every later pass consumes the materialized
+    # (doc_id, is_base, digest-hex) projection — ~49 B/row, object-store
+    # resident — instead of re-reading and re-hashing document text.
+    # (At 10^12 rows, dropping .materialize() trades the ~40 TB resident
+    # projection for one extra text scan per pass — both layouts work;
+    # the digest columns are what must flow either way.)
+    def digest_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "is_base": ids < 1_000_000,
+                "h": pd.array(
+                    [d.hex() for d in _md5_digests(df["text"])], dtype="string"
+                ),
+            }
+        )
+
+    hashed = aug.map_batches(digest_rows, batch_format="pandas").materialize()
+    base = hashed.map_batches(
+        lambda df: df[df["is_base"]][["doc_id", "h"]], batch_format="pandas"
     )
-    newd = aug.map_batches(
-        lambda df: df[df["doc_id"] >= 1_000_000], batch_format="pandas"
+    newd = hashed.map_batches(
+        lambda df: df[~df["is_base"]][["doc_id", "h"]], batch_format="pandas"
     )
 
     if mode == "antijoin":
         from ray.data.aggregate import Count
 
-        def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
-            digs = _md5_digests(df["text"])
-            return pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
-                    "h": pd.array([d.hex() for d in digs], dtype="string"),
-                }
-            )
-
         nparts = clamped_join_partitions(16)
         base_h = (
-            base.map_batches(hash_rows, batch_format="pandas")
-            .groupby("h")
-            .aggregate(Count(alias_name="n_base"))
-            .repartition(nparts)
+            base.groupby("h").aggregate(Count(alias_name="n_base")).repartition(nparts)
         )
-        new_h = newd.map_batches(hash_rows, batch_format="pandas").repartition(nparts)
+        new_h = newd.repartition(nparts)
         joined = new_h.join(base_h, "left_outer", nparts, on=("h",))
 
         def survivors(t: pa.Table) -> pa.Table:
@@ -906,8 +914,11 @@ def dedup_incremental(sf_dir: str, mode: str = "bloom", m_bits: int = BLOOM_BITS
     if mode != "bloom":
         raise ValueError(f"unknown mode: {mode!r}")
 
+    def _col_digests(df: pd.DataFrame) -> list[bytes]:
+        return [bytes.fromhex(h) for h in df["h"]]
+
     def bloom_batch(df: pd.DataFrame) -> np.ndarray:
-        pos = _probe_positions(_md5_digests(df["text"]), m_bits)
+        pos = _probe_positions(_col_digests(df), m_bits)
         arr = np.zeros(m_bits // 8, dtype=np.uint8)
         if pos.size:
             p = pos.ravel()
@@ -921,20 +932,14 @@ def dedup_incremental(sf_dir: str, mode: str = "bloom", m_bits: int = BLOOM_BITS
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         b = ray.get(bloom_ref)
-        digs = _md5_digests(df["text"])
-        pos = _probe_positions(digs, m_bits)
+        pos = _probe_positions(_col_digests(df), m_bits)
         hit = (((b[pos >> 3] >> (pos & 7)) & 1) == 1).all(axis=1)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[hit],
-                "dig": np.asarray(digs, dtype=object)[hit],
-            }
-        )
+        return df.loc[np.asarray(hit), ["doc_id", "h"]]
 
     cand = newd.map_batches(probe, batch_format="pandas").to_pandas()
 
     if len(cand):
-        slot = {d: i for i, d in enumerate(dict.fromkeys(cand["dig"]))}
+        slot = {d: i for i, d in enumerate(dict.fromkeys(cand["h"]))}
         slot_ref = ray.put(slot)
         _slot_cache: dict = {}
 
@@ -945,7 +950,7 @@ def dedup_incremental(sf_dir: str, mode: str = "bloom", m_bits: int = BLOOM_BITS
             if index is None:
                 index = _slot_cache["s"] = ray.get(slot_ref)
             v = np.zeros(len(index), dtype=np.uint8)
-            for d in _md5_digests(df["text"]):
+            for d in df["h"]:
                 j = index.get(d)
                 if j is not None:
                     v[j] = 1
@@ -957,7 +962,9 @@ def dedup_incremental(sf_dir: str, mode: str = "bloom", m_bits: int = BLOOM_BITS
         confirmed = {d for d, i in slot.items() if present[i]}
         dup_ids = np.sort(
             cand["doc_id"].to_numpy(dtype=np.int64)[
-                np.fromiter((d in confirmed for d in cand["dig"]), dtype=bool, count=len(cand))
+                np.fromiter(
+                    (d in confirmed for d in cand["h"]), dtype=bool, count=len(cand)
+                )
             ]
         )
     else:
