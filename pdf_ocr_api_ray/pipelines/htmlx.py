@@ -129,7 +129,9 @@ def classify_blocks(html: pd.Series) -> pd.DataFrame:
                 "keep": np.empty(0, dtype=bool),
             }
         )
-    inner = m[1]
+    # pandas extractall returns NaN (not '') for a zero-length group
+    # match — an empty block like <p></p> must classify as empty text
+    inner = m[1].fillna("")
     visible = (
         inner.str.replace(_TAG_RE, "", regex=True)
         .str.replace(_WS_RE, " ", regex=True)

@@ -122,3 +122,47 @@ def test_extract_main_content_block_layout_invariance(ray_session, tmp_path):
     )
     one = outs["all"].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, two)
+
+
+# ---------------------------------------------------------------------------
+# Property: classifier == independent per-block reference on random pages
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_BLOCK = st.tuples(
+    st.sampled_from(["p", "div", "nav", "aside", "footer", "li", "section"]),
+    st.lists(_WORD, min_size=0, max_size=12),  # plain words
+    st.lists(st.tuples(_WORD, _WORD), min_size=0, max_size=3),  # (anchor text, href) pairs
+)
+
+
+def _reference_verdict(words, anchors):
+    """Straight-line per-block reference: visible text is words then
+    anchor texts space-joined; keep iff >= 6 words and 3*anchor_chars
+    <= visible chars."""
+    vis_parts = list(words) + [a for a, _ in anchors]
+    visible = " ".join(vis_parts)
+    n_words = len(vis_parts)
+    anchor_chars = sum(len(a) for a, _ in anchors)
+    return visible, n_words >= 6 and 3 * anchor_chars <= len(visible)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_BLOCK, min_size=0, max_size=8))
+def test_classifier_matches_reference_on_random_pages(blocks):
+    html = ""
+    for tag, words, anchors in blocks:
+        inner = " ".join(
+            list(words) + [f'<a href="/{h}">{a}</a>' for a, h in anchors]
+        )
+        html += f"<{tag}>{inner}</{tag}>"
+    out = classify_blocks(pd.Series([html]))
+    assert len(out) == len(blocks)
+    for i, (tag, words, anchors) in enumerate(blocks):
+        visible, keep = _reference_verdict(words, anchors)
+        assert out.loc[i, "tag"] == tag
+        assert out.loc[i, "visible"] == visible
+        assert bool(out.loc[i, "keep"]) == keep, (words, anchors)
