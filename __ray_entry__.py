@@ -180,7 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # "HTML boilerplate strip / DOM heuristics" capability) in for
         # the r1-green single-aggregate revenue_by_returnflag_1995
         "extract_main_content": htmlx.extract_main_content,
-        "latest_order_per_customer": relational.latest_order_per_customer,
+        # r4 eighth swap: exact global quality-percentile pruning in
+        # for the r1-green latest_order_per_customer
+        "select_top_quality": text.select_top_quality,
         # r4 fourth swap: exact heavy hitters without a vocabulary
         # shuffle (sketch-then-verify) in for the r1-green events_daily
         "heavy_hitters": text.heavy_hitters,
@@ -279,6 +281,8 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_returnflag_1995": relational.revenue_by_returnflag_1995,
         # r4 seventh rotation: made room for dedup_incremental
         "top_customers_per_segment": relational.top_customers_per_segment,
+        # r4 eighth rotation: made room for select_top_quality
+        "latest_order_per_customer": relational.latest_order_per_customer,
         "events_daily": events.events_daily,
         "running_total": events.running_total,
         # driver-ineligible curation surface (see docstring)
@@ -516,6 +520,25 @@ _RELATIONAL_ORACLES = {
                    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
                    len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
             FROM documents
+        """,
+        "select_top_quality": r"""
+            -- top 20% by quality, ties at the cutoff all kept
+            -- (rank() <= quota == the engine's lattice-cutoff rule);
+            -- quality expression identical to doc_stats
+            WITH s AS (
+                SELECT doc_id,
+                       round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+                             / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
+                             + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
+                             4) AS quality
+                FROM documents
+            ), r AS (
+                SELECT doc_id, quality,
+                       rank() OVER (ORDER BY quality DESC) AS rk,
+                       count(*) OVER () AS n
+                FROM s
+            )
+            SELECT doc_id, quality FROM r WHERE rk <= ceil(0.2 * n)
         """,
         "token_freq": r"""
             SELECT word, count(*) AS n

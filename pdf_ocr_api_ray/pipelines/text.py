@@ -598,3 +598,59 @@ def cms_estimate(sketch: dict, tokens: list[str]):
         idx = ((h >> np.uint64(11 * d)) % np.uint64(width)).astype(np.int64)
         ests[d] = m[d, idx]
     return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Exact global quality-percentile pruning
+# ---------------------------------------------------------------------------
+
+
+def select_top_quality(sf_dir: str, frac: float = 0.2):
+    """Keep the top ``frac`` of the corpus by quality score, EXACTLY —
+    the data-pruning primitive behind quality-threshold curation
+    (train on the best X% of a crawl). "Exactly" means the cutoff is
+    the true global order statistic, not a per-partition approximation
+    that drifts with block layout.
+
+    The quality score is rounded to 4 decimals, so scores live on a
+    10,001-point lattice — the full score distribution is ONE bounded
+    80 KB histogram, ADD-merged in-cluster via ``elementwise_fold``
+    (driver receives a single row). The cutoff is read off the suffix
+    counts, and the final pass is a stateless integer-lattice filter:
+    no sort, no shuffle, two passes over a materialized 16 B/row
+    (doc_id, quality) projection. Ties at the cutoff are all kept
+    (output >= ceil(frac*N) rows; the SQL twin's ``rank() <= quota``
+    states the same rule), so output is independent of block layout.
+
+    Output: (doc_id, quality) of the surviving documents."""
+    import numpy as np
+
+    from ._util import elementwise_fold
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        _, quality = _quality_cols(df["text"].str.lower())
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "quality": quality}
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+
+    def hist(df: pd.DataFrame) -> "np.ndarray":
+        idx = np.rint(df["quality"].to_numpy() * 10000.0).astype(np.int64)
+        return np.bincount(idx, minlength=10001).astype(np.int64)
+
+    counts = elementwise_fold(scored, hist, np.add, np.int64, (10001,))
+    n = int(counts.sum())
+    quota = int(np.ceil(frac * n))
+    if n == 0 or quota == 0:
+        return scored.map_batches(lambda df: df.iloc[:0], batch_format="pandas")
+    suffix = np.cumsum(counts[::-1])[::-1]  # suffix[v] = count(q >= v/10000)
+    cutoff_idx = int(np.flatnonzero(suffix >= quota).max())
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.rint(df["quality"].to_numpy() * 10000.0).astype(np.int64)
+        return df[idx >= cutoff_idx]
+
+    return scored.map_batches(keep, batch_format="pandas")

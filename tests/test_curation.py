@@ -395,3 +395,83 @@ def test_chunk_documents_overlap_and_tail(ray_session, tmp_path):
         "t6",
         "a b",
     ]
+
+
+# ---------------------------------------------------------------------------
+# select_top_quality: exact global percentile pruning
+# ---------------------------------------------------------------------------
+
+
+def test_select_top_quality_exact_and_layout_invariant(ray_session, tmp_path):
+    """Engine cutoff == brute-force sort on the same scores; output is
+    identical whether the corpus arrives as one file or split."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import quality_score, select_top_quality
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    outs = {}
+    for name, tbls in {"all": [src], "split": [src.slice(0, 250), src.slice(250)]}.items():
+        d = tmp_path / name
+        d.mkdir()
+        import pyarrow as pa
+        pq.write_table(pa.concat_tables(tbls), str(d / "documents.parquet"))
+        # split layout: force multiple blocks via a second dir trick is
+        # unnecessary — block layout varies with read parallelism anyway
+        outs[name] = (
+            select_top_quality(str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["all"], outs["split"])
+
+    # brute-force reference: sort all scores, keep >= the quota-th
+    scores = quality_score("/root/testdata/sf0.001").to_pandas()
+    q = np.ceil(0.2 * len(scores)).astype(int)
+    cutoff = np.sort(scores["quality"].to_numpy())[::-1][q - 1]
+    expect = scores.loc[scores["quality"] >= cutoff, ["doc_id", "quality"]]
+    got = outs["all"]
+    assert set(got["doc_id"]) == set(expect["doc_id"])
+    assert len(got) >= q  # ties kept
+
+
+def test_select_top_quality_tie_class_all_kept(ray_session, tmp_path):
+    """Uniform-quality corpus: every doc ties at the cutoff -> ALL kept
+    regardless of frac (the stated tie rule), never a partial class."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import select_top_quality
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(["alpha beta gamma"] * 10, pa.string()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = select_top_quality(str(tmp_path), frac=0.3).to_pandas()
+    assert len(out) == 10
+
+
+def test_select_top_quality_zero_frac_empty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import select_top_quality
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b", "c d"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = select_top_quality(str(tmp_path), frac=0.0).to_pandas()
+    assert len(out) == 0
