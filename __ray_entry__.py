@@ -252,6 +252,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         events,
         media,
         relational,
+        sampling,
         spanops,
         text,
     )
@@ -288,9 +289,10 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # driver-ineligible curation surface (see docstring)
         "bm25_rank": curation.bm25_rank,
         "merge_paginated": text.merge_paginated,
-        # library op added after the registry reached 50 r4 rows; full
+        # library ops added after the registry reached 50 r4 rows; full
         # oracle parity through this dict's pytest gate
         "chunk_documents": curation.chunk_documents,
+        "split_corpus": sampling.split_corpus,
     }
 
 

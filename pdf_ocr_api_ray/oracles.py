@@ -642,6 +642,21 @@ def sample_stratified_sql() -> str:
                              ELSE 0.2 END) * 4294967296"""
 
 
+def split_corpus_sql(weights: tuple[int, int, int] = (98, 1, 1)) -> str:
+    """Deterministic holdout assignment: same md5-little-endian draw as
+    sampling.split_corpus, bucketed by integer weights."""
+    total = sum(weights)
+    b1, b2 = weights[0], weights[0] + weights[1]
+    id_expr = "'split|'||CAST(doc_id AS VARCHAR)"
+    draw = f"(({_md5_le64(id_expr)} % 4294967296) % {total})"
+    return f"""
+        SELECT doc_id, lang,
+               CASE WHEN {draw} < {b1} THEN 'train'
+                    WHEN {draw} < {b2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents"""
+
+
 def group_topk_sql(k: int = 5) -> str:
     return f"""
         SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (
@@ -863,4 +878,6 @@ def corpus_oracles() -> dict[str, str]:
         "pii_scrub": pii_scrub_sql(),
         "mix_sample": mix_sample_sql(),
         "merge_paginated": merge_paginated_sql(),
+        # late-r4 holdout split (library op; rotated_out gate)
+        "split_corpus": split_corpus_sql(),
     }

@@ -379,3 +379,54 @@ def write_epoch_shards(
         for r in summary.to_dict("records"):
             f.write(json.dumps({**r, "seed": seed, "at": time.time()}) + "\n")
     return summary.sort_values("shard", ignore_index=True)
+
+
+_SPLIT_SALT = "split"
+
+
+def split_corpus(
+    sf_dir: str,
+    weights: tuple[int, int, int] = (98, 1, 1),
+):
+    """Deterministic train/validation/test holdout assignment — the
+    split that must NEVER drift: membership is a pure function of
+    doc_id (md5 draw mod the weight total), so it is identical across
+    runs, cluster sizes, resumes, and corpus growth (a doc added later
+    cannot move an existing doc between splits — the leakage failure
+    mode of position- or RNG-based splitting). Shuffle-free single
+    scan.
+
+    ``weights`` are integer bucket widths (e.g. 98/1/1); the draw is
+    the same 32-bit md5 arithmetic the SQL twin rebuilds. Output:
+    (doc_id, lang, split) with split in {'train','val','test'}."""
+    total = sum(weights)
+    if total <= 0 or any(w < 0 for w in weights):
+        raise ValueError("weights must be non-negative with a positive sum")
+    b1, b2 = weights[0], weights[0] + weights[1]
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        draws = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{_SPLIT_SALT}|{int(d)}".encode()).digest()[:8],
+                    "little",
+                )
+                & 0xFFFFFFFF
+                for d in df["doc_id"]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        bucket = draws % total
+        split = np.where(bucket < b1, "train", np.where(bucket < b2, "val", "test"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "split": split,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")

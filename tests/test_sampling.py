@@ -162,3 +162,60 @@ def test_sample_fixed_k_exact_counts(ray_session, con):
     a = got.sort_values(["lang", "doc_id"], ignore_index=True)
     b = again.sort_values(["lang", "doc_id"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# split_corpus: deterministic holdout assignment
+# ---------------------------------------------------------------------------
+
+
+def test_split_corpus_stability_and_coverage(ray_session):
+    """Every doc gets exactly one split; assignment is identical across
+    runs AND identical for the overlapping ids of a grown corpus (the
+    no-leakage property: adding docs cannot move existing ones)."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.sampling import split_corpus
+
+    a = split_corpus("/root/testdata/sf0.001").to_pandas().sort_values("doc_id")
+    b = split_corpus("/root/testdata/sf0.001").to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert set(a["split"]).issubset({"train", "val", "test"})
+    assert len(a) == 500 and a["doc_id"].is_unique
+
+    # sf0.01 shares doc_ids 0..499 with sf0.001-style ids — overlapping
+    # ids must keep their split under corpus growth
+    big = split_corpus("/root/testdata/sf0.01").to_pandas()
+    merged = a.merge(big, on="doc_id", suffixes=("_small", "_big"))
+    assert (merged["split_small"] == merged["split_big"]).all()
+
+
+def test_split_corpus_weights(ray_session, tmp_path):
+    """Integer weights drive the expected proportions (hash-uniform
+    draw; 2000 ids give tight-enough concentration for 50/25/25) and a
+    zero weight empties its split entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.sampling import split_corpus
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(2000)), pa.int64()),
+            "text": pa.array(["x"] * 2000, pa.string()),
+            "lang": pa.array(["en"] * 2000, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = split_corpus(str(tmp_path), weights=(2, 1, 1)).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.5) < 0.05
+    assert abs(frac["val"] - 0.25) < 0.05
+
+    none_val = split_corpus(str(tmp_path), weights=(1, 0, 1)).to_pandas()
+    assert (none_val["split"] != "val").all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="weights"):
+        split_corpus(str(tmp_path), weights=(0, 0, 0))
