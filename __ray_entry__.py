@@ -235,6 +235,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _neardup_index(sf_dir: str):
+    """Persisted-LSH-index near-dup pairs (build + query roundtrip —
+    production builds once, queries per increment)."""
+    from pdf_ocr_api_ray.pipelines.index import neardup_index_roundtrip
+
+    return neardup_index_roundtrip(sf_dir)
+
+
 def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
     """Library queries rotated OUT of the 50-row driver registry in r4
     (each has ≥1 green driver CORRECTNESS row from r1-r3). Still
@@ -293,6 +301,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # oracle parity through this dict's pytest gate
         "chunk_documents": curation.chunk_documents,
         "split_corpus": sampling.split_corpus,
+        "neardup_index": _neardup_index,
     }
 
 

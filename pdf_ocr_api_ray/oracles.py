@@ -880,4 +880,8 @@ def corpus_oracles() -> dict[str, str]:
         "merge_paginated": merge_paginated_sql(),
         # late-r4 holdout split (library op; rotated_out gate)
         "split_corpus": split_corpus_sql(),
+        # late-r4 persisted-index near-dup: the minhash oracle's exact
+        # cross (base x increment) restriction
+        "neardup_index": f"""SELECT * FROM ({dedup_minhash_lsh_sql()})
+            WHERE id_a < 1000000 AND id_b >= 1000000""",
     }
