@@ -95,30 +95,61 @@ def _manifest() -> dict:
     return {"n_hashes": N_HASHES, "n_bands": N_BANDS, "version": 1}
 
 
-def build_neardup_index(sf_dir: str, index_dir: str) -> dict:
-    """Index the base corpus (the original documents table). Returns
-    the manifest. Both sub-tables stream straight to partitioned
-    parquet — nothing corpus-sized touches the driver."""
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    os.makedirs(index_dir, exist_ok=True)
+def _index_docs(ds, index_dir: str) -> None:
+    """Stream a (doc_id, text) Dataset's band rows + fingerprint blobs
+    into the index dirs (write_parquet emits uniquely-named files, so
+    successive calls accumulate — that IS the append mechanism)."""
     ds.map_batches(_band_frame, batch_format="pandas").write_parquet(
         os.path.join(index_dir, "bands")
     )
     ds.map_batches(_fp_frame, batch_format="pandas").write_parquet(
         os.path.join(index_dir, "fps")
     )
+
+
+def build_neardup_index(sf_dir: str, index_dir: str) -> dict:
+    """Index the base corpus (the original documents table). Returns
+    the manifest. Both sub-tables stream straight to partitioned
+    parquet — nothing corpus-sized touches the driver."""
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    os.makedirs(index_dir, exist_ok=True)
+    _index_docs(ds, index_dir)
     man = _manifest()
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(man, f)
     return man
 
 
+def append_to_neardup_index(index_dir: str, docs_path: str) -> None:
+    """Admit an increment into the index — the production loop's second
+    half: query an increment, keep its survivors, APPEND them so the
+    NEXT increment dedups against base + everything admitted since.
+    ``docs_path`` is any (doc_id, text) parquet. Append-only new files;
+    no existing index file is rewritten (a concurrent reader sees
+    either the old or the grown index, never a partial file)."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        if json.load(f) != _manifest():
+            raise ValueError("index parameters do not match this engine")
+    ds = read_parquet_clean(docs_path, columns=["doc_id", "text"])
+    _index_docs(ds, index_dir)
+
+
 def query_neardup_index(
-    sf_dir: str, index_dir: str, jaccard_threshold: float = JACCARD_THRESHOLD
+    sf_dir: str,
+    index_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    *,
+    increment_path: str | None = None,
 ):
-    """Near-dup (base, increment) pairs with confirmed exact Jaccard —
-    base side served entirely from the index. Output: (id_a=base,
-    id_b=increment, jaccard)."""
+    """Near-dup (indexed, increment) pairs with confirmed exact Jaccard
+    — the indexed side served entirely from the index. Output:
+    (id_a=indexed, id_b=increment, jaccard).
+
+    The default increment is the testdata stand-in (the augmented
+    copies/mutants, ids >= 1M — what the SQL twin regenerates); pass
+    ``increment_path`` to query any (doc_id, text) parquet instead
+    (ids must be disjoint from indexed ids — id_a/id_b orientation is
+    pair order ``a < b``)."""
     import ray.data as rd
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -126,9 +157,12 @@ def query_neardup_index(
     if man != _manifest():
         raise ValueError(f"index parameters {man} != engine {_manifest()}")
 
-    newd = _augmented_documents(sf_dir, mutated=True).map_batches(
-        lambda df: df[df["doc_id"] >= 1_000_000], batch_format="pandas"
-    )
+    if increment_path is not None:
+        newd = read_parquet_clean(increment_path, columns=["doc_id", "text"])
+    else:
+        newd = _augmented_documents(sf_dir, mutated=True).map_batches(
+            lambda df: df[df["doc_id"] >= 1_000_000], batch_format="pandas"
+        )
 
     new_bands = newd.map_batches(_band_frame, batch_format="pandas").map_batches(
         lambda df: df.rename(columns={"doc_id": "id_b"}), batch_format="pandas"

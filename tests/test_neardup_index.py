@@ -62,3 +62,65 @@ def test_parameter_drift_refused(ray_session, tmp_path):
         json.dump({"n_hashes": 128, "n_bands": 16, "version": 1}, f)
     with pytest.raises(ValueError, match="index parameters"):
         query_neardup_index(SF, idx)
+
+
+def test_append_grows_the_index(ray_session, tmp_path):
+    """The production loop: base index -> query increment 1 -> append
+    it -> increment 2's query now matches BOTH base and increment-1
+    docs. Self-contained corpus with planted cross-range duplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.index import append_to_neardup_index
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten"
+    text_c = "red green blue cyan magenta yellow black white gray pink"
+
+    def write(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    base_dir = write("base", [(1, text_a), (2, text_b)])
+    inc1 = write("inc1", [(100, text_c), (101, text_a)])  # 101 dups base 1
+    inc2 = write(
+        "inc2", [(200, text_c), (201, text_b)]
+    )  # 200 dups inc1's 100; 201 dups base 2
+
+    idx = str(tmp_path / "idx")
+    from pdf_ocr_api_ray.pipelines.index import (
+        build_neardup_index,
+        query_neardup_index,
+    )
+
+    build_neardup_index(base_dir, idx)
+
+    q1 = query_neardup_index(
+        base_dir, idx, increment_path=str(tmp_path / "inc1" / "documents.parquet")
+    ).to_pandas()
+    assert set(map(tuple, q1[["id_a", "id_b"]].values.tolist())) == {(1, 101)}
+
+    # BEFORE append: inc2's 200 has no match (100 not indexed yet)
+    q2_pre = query_neardup_index(
+        base_dir, idx, increment_path=str(tmp_path / "inc2" / "documents.parquet")
+    ).to_pandas()
+    assert set(map(tuple, q2_pre[["id_a", "id_b"]].values.tolist())) == {(2, 201)}
+
+    append_to_neardup_index(idx, str(tmp_path / "inc1" / "documents.parquet"))
+
+    q2_post = query_neardup_index(
+        base_dir, idx, increment_path=str(tmp_path / "inc2" / "documents.parquet")
+    ).to_pandas()
+    assert set(map(tuple, q2_post[["id_a", "id_b"]].values.tolist())) == {
+        (2, 201),
+        (100, 200),
+    }
