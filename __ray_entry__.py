@@ -302,6 +302,10 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": curation.chunk_documents,
         "split_corpus": sampling.split_corpus,
         "neardup_index": _neardup_index,
+        # perceptual image-hash dedup — no SQL twin (hash over decoded
+        # binary content, like the sketch family); pinned by the
+        # brute-force all-pairs reference test
+        "media_phash_dup": media.media_phash_dup,
     }
 
 

@@ -286,6 +286,45 @@ def simhash64(tokens: list[str]) -> int:
     return out
 
 
+def hamming_sig_frame(ids: np.ndarray, hashes: np.ndarray) -> pd.DataFrame:
+    """Expand 64-bit fingerprints into the 4-segment pigeonhole rows
+    the hamming-blocking exchange consumes (exact for hamming ≤ 3) —
+    shared by dedup_simhash and the perceptual image-hash dedup."""
+    n = len(ids)
+    sh = hashes.astype(np.uint64)
+    seg_ids = np.tile(np.arange(4, dtype=np.int32), n)
+    segs = (
+        (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16)))
+        & np.uint64(0xFFFF)
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(ids, 4),
+            "segment_id": seg_ids,
+            "segment": segs.ravel(),
+            "simhash": np.repeat(sh.view(np.int64), 4),
+            "gb": (
+                (segs.ravel().view(np.uint64) * np.uint64(4) + seg_ids.astype(np.uint64))
+                % NUM_SUPER_BUCKETS
+            ).astype(np.int32),
+        }
+    )
+
+
+def hamming_block_pairs(sigs, max_hamming: int):
+    """Bucketed hamming-pair scan over a ``hamming_sig_frame`` Dataset:
+    super-bucket groupby, per-bucket vectorized popcount with identical
+    fingerprints collapsed to representatives, bucketed distinct."""
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return _hamming_block_pairs(group, max_hamming)
+
+    pairs = sigs.groupby("gb").map_groups(block_pairs, batch_format="pandas")
+    # a pair can surface from up to 4 segments → bucketed vectorized
+    # distinct (hamming identical wherever the pair surfaces)
+    return distinct_pairs(pairs, keep_min="hamming")
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup: 64-bit fingerprints, 4-segment blocking
     (pigeonhole: ≤3 differing bits → at least one identical 16-bit
@@ -302,78 +341,60 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
         sh = np.empty(n, dtype=np.uint64)
         for j, text in enumerate(df["text"]):
             sh[j] = np.uint64(simhash64(_TOKEN_RE.findall((text or "").lower())))
-        seg_ids = np.tile(np.arange(4, dtype=np.int32), n)
-        segs = (
-            (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16)))
-            & np.uint64(0xFFFF)
-        ).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
-                "segment_id": seg_ids,
-                "segment": segs.ravel(),
-                "simhash": np.repeat(sh.view(np.int64), 4),
-                "gb": (
-                    (segs.ravel().view(np.uint64) * np.uint64(4) + seg_ids.astype(np.uint64))
-                    % NUM_SUPER_BUCKETS
-                ).astype(np.int32),
-            }
-        )
+        return hamming_sig_frame(df["doc_id"].to_numpy(), sh)
 
     sigs = ds.map_batches(sig_rows, batch_format="pandas")
+    return hamming_block_pairs(sigs, max_hamming)
 
-    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, dist = [], [], []
-        for _, g in group.groupby(["segment_id", "segment"]):
-            rows = g[["doc_id", "simhash"]].drop_duplicates("doc_id").sort_values("doc_id")
-            if len(rows) < 2:
-                continue
-            ids = rows["doc_id"].to_numpy()
-            hs = rows["simhash"].to_numpy().view(np.uint64)
-            # collapse identical fingerprints: all intra-cluster pairs are
-            # hamming 0; the pairwise popcount runs on representatives only
-            uniq_h, inv = np.unique(hs, return_inverse=True)
-            for u in range(len(uniq_h)):
-                members = ids[inv == u]
-                if len(members) > 1:
-                    ii, jj = np.triu_indices(len(members), k=1)
-                    out_a.append(members[ii])
-                    out_b.append(members[jj])
-                    dist.append(np.zeros(len(ii), dtype=np.int64))
-            if len(uniq_h) > 1:
-                xors = uniq_h[:, None] ^ uniq_h[None, :]
-                hd = _popcount64(xors)
-                ui, uj = np.nonzero(np.triu(hd <= max_hamming, k=1))
-                for a_rep, b_rep in zip(ui, uj):
-                    ma = ids[inv == a_rep]
-                    mb = ids[inv == b_rep]
-                    ga, gbb = np.meshgrid(ma, mb, indexing="ij")
-                    fa, fb = ga.ravel(), gbb.ravel()
-                    lo = np.minimum(fa, fb)
-                    hi = np.maximum(fa, fb)
-                    out_a.append(lo)
-                    out_b.append(hi)
-                    dist.append(np.full(len(lo), hd[a_rep, b_rep], dtype=np.int64))
-        if not out_a:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype="int64"),
-                    "id_b": pd.Series([], dtype="int64"),
-                    "hamming": pd.Series([], dtype="int64"),
-                }
-            )
+
+def _hamming_block_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    out_a, out_b, dist = [], [], []
+    for _, g in group.groupby(["segment_id", "segment"]):
+        rows = g[["doc_id", "simhash"]].drop_duplicates("doc_id").sort_values("doc_id")
+        if len(rows) < 2:
+            continue
+        ids = rows["doc_id"].to_numpy()
+        hs = rows["simhash"].to_numpy().view(np.uint64)
+        # collapse identical fingerprints: all intra-cluster pairs are
+        # hamming 0; the pairwise popcount runs on representatives only
+        uniq_h, inv = np.unique(hs, return_inverse=True)
+        for u in range(len(uniq_h)):
+            members = ids[inv == u]
+            if len(members) > 1:
+                ii, jj = np.triu_indices(len(members), k=1)
+                out_a.append(members[ii])
+                out_b.append(members[jj])
+                dist.append(np.zeros(len(ii), dtype=np.int64))
+        if len(uniq_h) > 1:
+            xors = uniq_h[:, None] ^ uniq_h[None, :]
+            hd = _popcount64(xors)
+            ui, uj = np.nonzero(np.triu(hd <= max_hamming, k=1))
+            for a_rep, b_rep in zip(ui, uj):
+                ma = ids[inv == a_rep]
+                mb = ids[inv == b_rep]
+                ga, gbb = np.meshgrid(ma, mb, indexing="ij")
+                fa, fb = ga.ravel(), gbb.ravel()
+                lo = np.minimum(fa, fb)
+                hi = np.maximum(fa, fb)
+                out_a.append(lo)
+                out_b.append(hi)
+                dist.append(np.full(len(lo), hd[a_rep, b_rep], dtype=np.int64))
+    if not out_a:
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "hamming": np.concatenate(dist),
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
             }
         )
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(dist),
+        }
+    )
 
-    pairs = sigs.groupby("gb").map_groups(block_pairs, batch_format="pandas")
-    # a pair can surface from up to 4 segments → bucketed vectorized
-    # distinct (hamming identical wherever the pair surfaces)
-    return distinct_pairs(pairs, keep_min="hamming")
 
 
 def ngram_jaccard_pairs(

@@ -278,3 +278,84 @@ def media_decode_ppm(sf_dir: str, target_w: int = 64):
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (average-hash over decoded pixels)
+# ---------------------------------------------------------------------------
+
+
+def synth_ppm_gradient(doc_id: int) -> bytes:
+    """Deterministic gradient PPM per doc for the perceptual-dedup
+    corpus (constant-color images hash degenerately — every pixel
+    equals the mean). Image params derive from group = doc_id // 2, so
+    consecutive id pairs render the SAME image; the odd member of
+    every fourth pair (doc_id % 4 == 1) additionally inverts two
+    pixels — a planted NEAR-duplicate. The decoder/hasher knows none
+    of this."""
+    import numpy as np
+
+    g = doc_id // 2
+    w = 40 + g % 31
+    h = 24 + g % 17
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    base = (
+        xs[None, :] * (3 + g % 5) + ys[:, None] * (2 + g % 7) + g * 11
+    )
+    img = ((base[:, :, None] + np.arange(3) * 29) % 256).astype(np.uint8)
+    if doc_id % 4 == 1:
+        img = img.copy()
+        # invert the two source pixels the 8x8 grid samples at its
+        # first and last cells (nearest mapping idx = i * src // 8)
+        img[0, 0] = 255 - img[0, 0]
+        img[(7 * h) // 8, (7 * w) // 8] = 255 - img[(7 * h) // 8, (7 * w) // 8]
+    return encode_ppm(img)
+
+
+def ahash64(img) -> int:
+    """64-bit average hash: 8×8 nearest-sampled grid, integer grayscale
+    (channel sum // 3), bit = cell > integer mean. Pure integer
+    arithmetic — identical on every platform."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(8, dtype=np.int64) * w) // 8
+    cells = img[ys[:, None], xs[None, :], :].astype(np.int64).sum(axis=2) // 3
+    mean = int(cells.sum()) // 64
+    bits = (cells > mean).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def media_phash_dup(sf_dir: str, max_hamming: int = 3):
+    """Perceptual near-dup detection over DECODED image content — the
+    multimodal twin of dedup_simhash: payload → real PPM parse →
+    average-hash → the shared 4×16-bit pigeonhole hamming exchange
+    (exact recall for hamming ≤ max_hamming ≤ 3). Payloads never leave
+    the decode stage; the exchange carries (doc_id, 64-bit hash) rows
+    only. Output: (id_a, id_b, hamming) pairs.
+
+    No SQL twin (the hash is over decoded binary content, like the
+    sketch family) — pinned by a brute-force all-pairs reference test
+    plus hand-computed hash units."""
+    import numpy as np
+
+    from .dedup import hamming_block_pairs, hamming_sig_frame
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        hs = np.fromiter(
+            (
+                ahash64(decode_ppm(synth_ppm_gradient(int(d))))
+                for d in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        return hamming_sig_frame(ids, hs)
+
+    sigs = ds.map_batches(hash_rows, batch_format="pandas")
+    return hamming_block_pairs(sigs, max_hamming)

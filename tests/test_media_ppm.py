@@ -131,3 +131,79 @@ def test_zero_dimension_payload_quarantined(ray_session):
         )
     )
     assert out["ok"].tolist() == [False, False, True]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash dedup
+# ---------------------------------------------------------------------------
+
+
+def test_ahash64_hand_computed():
+    """2×2 image, values chosen so the 8×8 nearest grid samples each
+    quadrant: gray cells are 10/10/10/100 per quadrant -> mean 32 ->
+    only the bright quadrant's 16 cells set."""
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.media import ahash64
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = img[0, 1] = img[1, 0] = 10
+    img[1, 1] = 100
+    h = ahash64(img)
+    # grid rows 0-3 sample source row 0, rows 4-7 source row 1; same for
+    # columns — bright cells are grid (4..7, 4..7): bits 36..39 etc.
+    expect = 0
+    for cy in range(4, 8):
+        for cx in range(4, 8):
+            expect |= 1 << (63 - (cy * 8 + cx))
+    assert h == expect
+
+
+def test_media_phash_dup_equals_bruteforce(ray_session):
+    """Distributed pigeonhole output == all-pairs popcount reference
+    (exactness of the blocking), and the planted same-group pairs are
+    present: identical copies at hamming 0, perturbed at 1-3."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.media import (
+        ahash64,
+        decode_ppm,
+        media_phash_dup,
+        synth_ppm_gradient,
+    )
+
+    ids = sorted(
+        pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    )
+    hs = {d: ahash64(decode_ppm(synth_ppm_gradient(int(d)))) for d in ids}
+    expect = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            hd = bin(hs[ids[i]] ^ hs[ids[j]]).count("1")
+            if hd <= 3:
+                expect.add((ids[i], ids[j], hd))
+
+    out = media_phash_dup("/root/testdata/sf0.001").to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b", "hamming"]].astype(int).values.tolist()))
+    assert got == expect
+
+    by_pair = {(a, b): h for a, b, h in got}
+    n_perturbed_found = 0
+    for e in range(0, 500, 2):
+        o = e + 1
+        if o >= 500:
+            continue
+        if o % 4 == 3:
+            # identical render — guaranteed hamming 0, cannot be missed
+            assert by_pair.get((e, o)) == 0, (e, o)
+        elif (e, o) in by_pair:
+            # perturbed render: 2 cells flip directly, but the mean
+            # shift can flip borderline cells past max_hamming — the
+            # pair is then legitimately absent (set equality above
+            # already pinned exactness); count the ones that survive
+            assert 1 <= by_pair[(e, o)] <= 3
+            n_perturbed_found += 1
+    assert n_perturbed_found > 50  # the planted near-dups are found en masse
