@@ -306,6 +306,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # binary content, like the sketch family); pinned by the
         # brute-force all-pairs reference test
         "media_phash_dup": media.media_phash_dup,
+        "select_token_budget": text.select_token_budget,
     }
 
 

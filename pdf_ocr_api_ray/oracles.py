@@ -884,4 +884,23 @@ def corpus_oracles() -> dict[str, str]:
         # cross (base x increment) restriction
         "neardup_index": f"""SELECT * FROM ({dedup_minhash_lsh_sql()})
             WHERE id_a < 1000000 AND id_b >= 1000000""",
+        # late-r4 exact token-budget fill (budget 25000; the window
+        # cumulative-sum rule IS the engine's kept-prefix definition)
+        "select_token_budget": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(round(10000 * round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+                           / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
+                           + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
+                           4)) AS BIGINT) AS quality_idx,
+                     len(regexp_extract_all(lower(text), '\S+')) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, quality_idx, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY quality_idx DESC, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM s
+            )
+            SELECT doc_id, quality_idx, n_tokens FROM c WHERE cum <= 25000
+        """,
     }

@@ -654,3 +654,129 @@ def select_top_quality(sf_dir: str, frac: float = 0.2):
         return df[idx >= cutoff_idx]
 
     return scored.map_batches(keep, batch_format="pandas")
+
+
+def select_token_budget(sf_dir: str, budget_tokens: int = 25_000):
+    """Fill a token budget with the best documents: keep docs in
+    (quality DESC, doc_id ASC) order while the running token total
+    stays ≤ ``budget_tokens`` — the budgeted variant of
+    ``select_top_quality`` (DataComp-style "train on the best B
+    tokens"). EXACT: the kept set equals the SQL window rule
+    ``sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) <= B``.
+
+    No global sort. The quality lattice collapses the corpus into
+    10,001 classes; one fold yields per-class doc counts AND token
+    sums (a (2, 10001) int64 array — one row to the driver), which
+    locates the boundary class. Inside that class the exact doc_id
+    cut point is found by RECURSIVE bounded refinement: histogram the
+    class's token mass into 256 equal-width doc_id sub-ranges (one
+    fold each level), descend into the range holding the boundary,
+    and only when a range holds ≤ 4096 docs collect it — ≤ log₂₅₆(N)
+    extra scans of a 20 B/row projection and never more than 4096
+    rows on the driver, whatever the quality distribution (a
+    uniform-quality corpus puts ALL docs in one class; the refinement
+    handles it, a class collect would not)."""
+    import numpy as np
+
+    from ._util import elementwise_fold
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lower = df["text"].str.lower()
+        _, quality = _quality_cols(lower)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "q": np.rint(quality.to_numpy() * 10000.0).astype(np.int64),
+                "n_tokens": lower.str.count(_TOKEN_RE).astype("int64"),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+
+    def class_fold(df: pd.DataFrame) -> "np.ndarray":
+        out = np.zeros((2, 10001), dtype=np.int64)
+        q = df["q"].to_numpy()
+        np.add.at(out[0], q, 1)
+        np.add.at(out[1], q, df["n_tokens"].to_numpy())
+        return out
+
+    cls = elementwise_fold(scored, class_fold, np.add, np.int64, (2, 10001))
+    counts, tokens = cls[0], cls[1]
+
+    def emit(filter_fn):
+        return scored.map_batches(
+            lambda df: filter_fn(df)[["doc_id", "q", "n_tokens"]].rename(
+                columns={"q": "quality_idx"}
+            ),
+            batch_format="pandas",
+        )
+
+    total = int(tokens.sum())
+    if total <= budget_tokens:  # whole corpus fits
+        return emit(lambda df: df)
+
+    # walk classes high→low to the boundary class c
+    suffix_above = 0  # tokens in classes strictly above c
+    c = 10000
+    for c in range(10000, -1, -1):
+        if suffix_above + tokens[c] > budget_tokens:
+            break
+        suffix_above += int(tokens[c])
+    remaining = budget_tokens - suffix_above  # token room inside class c
+
+    # recursive refinement for the doc_id cut inside class c
+    lo, hi = 0, int(2**63 - 1)
+    consumed = 0  # class-c tokens from doc_ids < lo
+    while True:
+        n_in = int(counts[c]) if (lo, hi) == (0, int(2**63 - 1)) else None
+        if n_in is None or n_in > 4096:
+            # count + token mass per 256 equal-width sub-ranges
+            width = max(1, (hi - lo) // 256 + 1)
+
+            def range_fold(df: pd.DataFrame, lo=lo, hi=hi, width=width) -> "np.ndarray":
+                out = np.zeros((2, 256), dtype=np.int64)
+                m = (df["q"].to_numpy() == c) & (
+                    df["doc_id"].to_numpy() >= lo
+                ) & (df["doc_id"].to_numpy() < hi)
+                if m.any():
+                    ids = df["doc_id"].to_numpy()[m]
+                    b = np.minimum((ids - lo) // width, 255)
+                    np.add.at(out[0], b, 1)
+                    np.add.at(out[1], b, df["n_tokens"].to_numpy()[m])
+                return out
+
+            sub = elementwise_fold(scored, range_fold, np.add, np.int64, (2, 256))
+            csum = np.cumsum(sub[1])
+            b = int(np.searchsorted(csum, remaining - consumed, side="right"))
+            if b >= 256:  # everything in range fits
+                cut_id = hi
+                break
+            consumed += int(csum[b - 1]) if b > 0 else 0
+            lo, hi = lo + b * width, min(hi, lo + (b + 1) * width)
+            if int(sub[0][b]) <= 4096:
+                n_in = int(sub[0][b])
+            else:
+                continue
+        # bounded collect of the boundary range
+        rows = (
+            scored.map_batches(
+                lambda df, lo=lo, hi=hi: df[
+                    (df["q"] == c) & (df["doc_id"] >= lo) & (df["doc_id"] < hi)
+                ],
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        cum = consumed + rows["n_tokens"].cumsum()
+        fit = rows["doc_id"].to_numpy()[(cum <= remaining - 0).to_numpy()]
+        cut_id = int(fit.max()) + 1 if len(fit) else lo
+        break
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["q"].to_numpy()
+        return df[(q > c) | ((q == c) & (df["doc_id"].to_numpy() < cut_id))]
+
+    return emit(keep)

@@ -475,3 +475,54 @@ def test_select_top_quality_zero_frac_empty(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     out = select_top_quality(str(tmp_path), frac=0.0).to_pandas()
     assert len(out) == 0
+
+
+def test_select_token_budget_refinement_path(ray_session, tmp_path):
+    """10,000 uniform-quality docs — ONE lattice class holding far more
+    than the 4096-row collect cap, forcing the recursive doc_id-range
+    refinement. Expected set = the first K doc_ids whose token prefix
+    fits (all docs identical: 10 tokens each, budget 1005 -> exactly
+    100 docs kept, ids 0..99)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import select_token_budget
+
+    n = 10_000
+    text = "tok " * 10  # 10 tokens, identical quality everywhere
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([text.strip()] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        select_token_budget(str(tmp_path), budget_tokens=1005)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == list(range(100))
+    assert out["n_tokens"].sum() == 1000
+
+
+def test_select_token_budget_edges(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import select_token_budget
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c", "d e"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    # budget covers everything -> whole corpus kept
+    assert len(select_token_budget(str(tmp_path), budget_tokens=10**9).to_pandas()) == 2
+    # zero budget -> nothing
+    assert len(select_token_budget(str(tmp_path), budget_tokens=0).to_pandas()) == 0
