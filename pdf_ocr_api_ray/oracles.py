@@ -903,4 +903,19 @@ def corpus_oracles() -> dict[str, str]:
             )
             SELECT doc_id, quality_idx, n_tokens FROM c WHERE cum <= 25000
         """,
+        # late-r4 cross-language calibration: percent_rank() is
+        # (rank-1)/(n-1) — one int division, bit-exact in both engines
+        "quality_percentile_by_lang": r"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+                           / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
+                           + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
+                           4) AS quality
+              FROM documents
+            )
+            SELECT doc_id, lang, quality,
+                   percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pct_rank
+            FROM s
+        """,
     }

@@ -780,3 +780,63 @@ def select_token_budget(sf_dir: str, budget_tokens: int = 25_000):
         return df[(q > c) | ((q == c) & (df["doc_id"].to_numpy() < cut_id))]
 
     return emit(keep)
+
+
+def quality_percentile_by_lang(sf_dir: str):
+    """Per-row EXACT percentile rank of each document's quality within
+    its language — the cross-language calibration transform (a 0.45
+    quality means different things in different languages; training
+    filters threshold the percentile, not the raw score).
+
+    ``pct_rank`` follows SQL ``percent_rank()``: (rank − 1) / (n − 1)
+    with rank = 1 + count(strictly lower in the same language); single
+    IEEE division of two ints → bit-exact across engines (0.0 for a
+    single-doc language).
+
+    Distributed shape: a bounded language-count groupby discovers the
+    (small) language set, ONE (L, 10001) lattice fold carries the full
+    per-language score distribution to the driver as one row, and the
+    transform itself is a stateless broadcast-lookup scan — no sort,
+    no per-row exchange, any block layout gives identical output."""
+    import numpy as np
+
+    from ._util import elementwise_fold
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+
+    langs = sorted(
+        r["lang"]
+        for r in ds.groupby("lang").count().take_all()
+    )
+    lang_pos = {l: i for i, l in enumerate(langs)}
+    L = len(langs)
+
+    def fold(df: pd.DataFrame) -> "np.ndarray":
+        out = np.zeros((L, 10001), dtype=np.int64)
+        _, quality = _quality_cols(df["text"].str.lower())
+        q = np.rint(quality.to_numpy() * 10000.0).astype(np.int64)
+        li = df["lang"].map(lang_pos).to_numpy(dtype=np.int64)
+        np.add.at(out, (li, q), 1)
+        return out
+
+    counts = elementwise_fold(ds, fold, np.add, np.int64, (L, 10001))
+    below = np.zeros_like(counts)
+    below[:, 1:] = np.cumsum(counts, axis=1)[:, :-1]  # strictly-lower counts
+    n_lang = counts.sum(axis=1)
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        _, quality = _quality_cols(df["text"].str.lower())
+        q = np.rint(quality.to_numpy() * 10000.0).astype(np.int64)
+        li = df["lang"].map(lang_pos).to_numpy(dtype=np.int64)
+        n = n_lang[li]
+        pct = np.where(n > 1, below[li, q] / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "quality": quality,
+                "pct_rank": pct,
+            }
+        )
+
+    return ds.map_batches(transform, batch_format="pandas")

@@ -526,3 +526,41 @@ def test_select_token_budget_edges(ray_session, tmp_path):
     assert len(select_token_budget(str(tmp_path), budget_tokens=10**9).to_pandas()) == 2
     # zero budget -> nothing
     assert len(select_token_budget(str(tmp_path), budget_tokens=0).to_pandas()) == 0
+
+
+def test_quality_percentile_by_lang_semantics(ray_session, tmp_path):
+    """percent_rank semantics: strictly-lower count over (n-1); all-tie
+    languages and single-doc languages both rank 0.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import quality_percentile_by_lang
+
+    # lang 'aa': three docs with distinct quality (token counts 10/50/200
+    # -> increasing length term); lang 'bb': two identical docs; 'cc': one
+    rows = [
+        (1, "tok " * 10, "aa"),
+        (2, "tok " * 50, "aa"),
+        (3, "tok " * 200, "aa"),
+        (4, "tok " * 30, "bb"),
+        (5, "tok " * 30, "bb"),
+        (6, "tok " * 7, "cc"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1].strip() for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        quality_percentile_by_lang(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "pct_rank"] == 0.0
+    assert out.loc[2, "pct_rank"] == 0.5
+    assert out.loc[3, "pct_rank"] == 1.0
+    assert out.loc[4, "pct_rank"] == 0.0 and out.loc[5, "pct_rank"] == 0.0
+    assert out.loc[6, "pct_rank"] == 0.0
