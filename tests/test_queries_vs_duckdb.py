@@ -101,7 +101,11 @@ def test_parity(ray_session, entry_mod, con, name):
 
 # approximate-by-construction ops with no exact SQL twin: the driver
 # records a rows-only check; the rank-error bound is pytest-pinned
-ROWS_ONLY = {"value_percentiles_sketch"}
+# ops without a SQL twin, each pinned by its own reference gate:
+# the t-digest sketch by its error-bound test (exact twin
+# value_percentiles IS hash-verified), the perceptual image hash by
+# brute-force all-pairs equality (hash over decoded binary content)
+ROWS_ONLY = {"value_percentiles_sketch", "media_phash_dup"}
 
 
 def test_every_query_has_an_oracle(entry_mod):
@@ -109,7 +113,7 @@ def test_every_query_has_an_oracle(entry_mod):
     except the documented rows-only sketch op (exact twin
     value_percentiles IS hash-verified)."""
     assert set(entry_mod.queries()) - ROWS_ONLY <= set(entry_mod.oracle_sql())
-    assert set(entry_mod.rotated_out_queries()) <= set(entry_mod.oracle_sql())
+    assert set(entry_mod.rotated_out_queries()) - ROWS_ONLY <= set(entry_mod.oracle_sql())
     # the registry must stay within the driver's hard 50-row cap
     assert len(entry_mod.queries()) <= 50
 
