@@ -308,6 +308,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dup": media.media_phash_dup,
         "select_token_budget": text.select_token_budget,
         "quality_percentile_by_lang": text.quality_percentile_by_lang,
+        "curate_corpus": curation.curate_corpus,
     }
 
 

@@ -918,4 +918,25 @@ def corpus_oracles() -> dict[str, str]:
                    percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pct_rank
             FROM s
         """,
+        # late-r4 composed recipe: train split -> exact top-20% quality
+        # within the split -> 64/32 chunk accounting, per language
+        "curate_corpus": rf"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+                           / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
+                           + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
+                           4) AS quality,
+                     len(regexp_extract_all(lower(text), '\S+')) AS n_tokens
+              FROM documents
+              WHERE ((({_md5_le64("'split|'||CAST(doc_id AS VARCHAR)")} % 4294967296) % 100) < 98)
+            ), r AS (
+              SELECT *, rank() OVER (ORDER BY quality DESC) AS rk,
+                     count(*) OVER () AS n
+              FROM s
+            ), k AS (SELECT * FROM r WHERE rk <= ceil(0.2 * n))
+            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+                   sum(CASE WHEN n_tokens > 0 THEN (n_tokens + 31) // 32 ELSE 0 END) AS n_chunks
+            FROM k GROUP BY lang
+        """,
     }

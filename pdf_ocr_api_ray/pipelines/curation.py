@@ -737,3 +737,91 @@ def chunk_documents(sf_dir: str, window: int = 64, stride: int = 32):
         )
 
     return ds.map_batches(chunks, batch_format="pandas")
+
+
+def curate_corpus(sf_dir: str, frac: float = 0.2):
+    """The full curation recipe as ONE lazy DAG — the composition the
+    individual operators exist for: deterministic train-split
+    assignment (split_corpus's draw), exact global top-``frac``
+    quality pruning within the train split (select_top_quality's
+    lattice-fold cutoff), and training-window accounting
+    (chunk_documents's 64/32 geometry), reduced to a per-language
+    summary. Shows the operators compose without materialization:
+    one corpus scan feeds a bounded histogram fold, a second scan
+    applies split+cutoff+chunk arithmetic and pre-aggregates per
+    batch, and a language-keyed groupby over ≤ L rows/block finalizes.
+
+    Output: (lang, n_docs, n_tokens, n_chunks) over the surviving
+    train-split documents."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from ._util import elementwise_fold
+    from .sampling import _SPLIT_SALT
+    from .text import _quality_cols
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        draws = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{_SPLIT_SALT}|{int(d)}".encode()).digest()[:8],
+                    "little",
+                )
+                & 0xFFFFFFFF
+                for d in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        lower = df["text"].str.lower()
+        _, quality = _quality_cols(lower)
+        out = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "lang": df["lang"],
+                "q": np.rint(quality.to_numpy() * 10000.0).astype(np.int64),
+                "n_tokens": lower.str.count(r"\S+").astype("int64"),
+            }
+        )
+        return out[(draws % 100) < 98]  # train split (98/1/1 weights)
+
+    train = ds.map_batches(annotate, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> "np.ndarray":
+        return np.bincount(df["q"].to_numpy(), minlength=10001).astype(np.int64)
+
+    counts = elementwise_fold(train, hist, np.add, np.int64, (10001,))
+    n = int(counts.sum())
+    quota = int(np.ceil(frac * n))
+    if n == 0 or quota == 0:
+        cutoff_idx = 10001  # nothing survives
+    else:
+        suffix = np.cumsum(counts[::-1])[::-1]
+        cutoff_idx = int(np.flatnonzero(suffix >= quota).max())
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df["q"].to_numpy() >= cutoff_idx]
+        toks = kept["n_tokens"].to_numpy()
+        g = pd.DataFrame(
+            {
+                "lang": kept["lang"],
+                "n_docs": 1,
+                "n_tokens": toks,
+                "n_chunks": np.where(toks > 0, -(-toks // 32), 0),
+            }
+        )
+        return g.groupby("lang", as_index=False).sum()
+
+    return (
+        train.map_batches(summarize, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chunks", alias_name="n_chunks"),
+        )
+    )
