@@ -257,6 +257,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
     projection of the long-green document_merge row)."""
     from pdf_ocr_api_ray.pipelines import (
         curation,
+        dedup,
         events,
         media,
         relational,
@@ -309,6 +310,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "select_token_budget": text.select_token_budget,
         "quality_percentile_by_lang": text.quality_percentile_by_lang,
         "curate_corpus": curation.curate_corpus,
+        "dedup_survivors": dedup.dedup_survivors,
     }
 
 

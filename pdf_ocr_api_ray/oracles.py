@@ -629,6 +629,39 @@ SELECT r.node AS doc_id, r.cluster_rep, s.cluster_size
 FROM reps r JOIN sizes s ON s.cluster_rep = r.cluster_rep"""
 
 
+def dedup_survivors_sql() -> str:
+    """Per-cluster longest-member survivor (ties → smallest id) over
+    the same transitive closure — ``dedup_survivors('longest')``'s
+    twin. Mutant copies are one token longer than their source, so the
+    policy genuinely diverges from min-id on mutant clusters."""
+    return f"""WITH RECURSIVE pairs AS (
+{dedup_minhash_lsh_sql()}
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(src, node) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+reps AS (SELECT node, min(src) AS cluster_rep FROM reach GROUP BY node),
+sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM reps GROUP BY cluster_rep),
+{_AUG_CORPUS.strip()},
+m AS (
+    SELECT r.cluster_rep, r.node,
+           row_number() OVER (PARTITION BY r.cluster_rep
+                              ORDER BY length(c.text) DESC, r.node) AS rn
+    FROM reps r JOIN corpus c ON c.doc_id = r.node
+)
+SELECT m.cluster_rep, m.node AS survivor_id, s.cluster_size
+FROM m JOIN sizes s ON s.cluster_rep = m.cluster_rep
+WHERE m.rn = 1"""
+
+
 def sample_stratified_sql() -> str:
     """Deterministic stratified Bernoulli sample: the identical
     md5-little-endian draw arithmetic as sampling._u32, thresholds =
@@ -868,6 +901,7 @@ def corpus_oracles() -> dict[str, str]:
             FROM documents""",
         # r4 registry rotation: the formerly pytest-only library ops
         "dedup_clusters": dedup_clusters_sql(),
+        "dedup_survivors": dedup_survivors_sql(),
         "sample_stratified": sample_stratified_sql(),
         "group_topk": group_topk_sql(),
         "pack_sequences": pack_sequences_sql(),

@@ -1003,3 +1003,90 @@ def dedup_incremental(sf_dir: str, mode: str = "bloom", m_bits: int = BLOOM_BITS
         return pd.DataFrame({"doc_id": ids[~isdup]})
 
     return newd.map_batches(keep, batch_format="pandas")
+
+
+def dedup_survivors(sf_dir: str, policy: str = "longest", **cluster_kwargs):
+    """Survivor selection per near-dup cluster — the policy knob a
+    production dedup pass applies AFTER clustering (C4 keeps the
+    longest member of a duplicate group, not the smallest id):
+    ``policy='longest'`` keeps the longest text (ties → smallest
+    doc_id), ``policy='min_id'`` the canonical smallest id. Exact
+    dups always tie on length, so the policies only diverge on
+    near-dup chains — which is why this lives on the cluster graph.
+
+    Distributed shape: the cluster table (bounded: docs in ≥1 pair)
+    joins document lengths on a clamped hash partitioning, survivor
+    argmax rides ONE int64 key (len·2⁴¹ + (2⁴¹−1−doc_id), so Max =
+    longest-then-smallest-id — the encoded-argmax idiom from
+    latest_order_per_customer), and a cluster-keyed groupby of two
+    aggregates finalizes. Output: (cluster_rep, survivor_id,
+    cluster_size) — one row per cluster."""
+    from ray.data.aggregate import Max, Min
+
+    from ._util import clamped_join_partitions
+
+    clusters = dedup_clusters(sf_dir, **cluster_kwargs)
+
+    if policy == "min_id":
+        agg = clusters.groupby("cluster_rep").aggregate(
+            Min("cluster_size", alias_name="cluster_size")
+        )
+        return agg.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "cluster_rep": df["cluster_rep"].astype("int64"),
+                    "survivor_id": df["cluster_rep"].astype("int64"),
+                    "cluster_size": df["cluster_size"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    if policy != "longest":
+        raise ValueError(f"unknown policy: {policy!r}")
+
+    B = np.int64(1) << np.int64(41)
+
+    lens = _augmented_documents(sf_dir, mutated=True).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "ln": df["text"].fillna("").str.len().astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    nparts = clamped_join_partitions(16)
+    joined = clusters.repartition(nparts).join(
+        lens.repartition(nparts), "inner", nparts, on=("doc_id",)
+    )
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cluster_rep": df["cluster_rep"].astype("int64"),
+                "k": df["ln"].to_numpy(dtype=np.int64) * B
+                + (B - 1 - df["doc_id"].to_numpy(dtype=np.int64)),
+                "cluster_size": df["cluster_size"].astype("int64"),
+            }
+        )
+
+    agg = (
+        joined.map_batches(enc, batch_format="pandas")
+        .groupby("cluster_rep")
+        .aggregate(
+            Max("k", alias_name="k"),
+            Min("cluster_size", alias_name="cluster_size"),
+        )
+    )
+
+    def dec(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "cluster_rep": df["cluster_rep"].astype("int64"),
+                "survivor_id": (B - 1 - (k % B)).astype(np.int64),
+                "cluster_size": df["cluster_size"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(dec, batch_format="pandas")

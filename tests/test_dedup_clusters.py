@@ -190,3 +190,34 @@ def test_checkpoint_resume_matches_uninterrupted(ray_session, tmp_path):
     for d in done:  # the resumed run must NOT have recomputed rounds 1..5
         assert os.path.getmtime(os.path.join(ckpt, d, "_round.json")) == mtimes[d]
     assert len(os.listdir(ckpt)) > 5  # and it really continued past them
+
+
+def test_dedup_survivors_policies_diverge(ray_session):
+    """'longest' picks the mutant copy (one token longer than its
+    source) where 'min_id' picks the canonical smallest id — the two
+    policies must agree on cluster structure and genuinely differ on
+    survivor choice for mutant clusters."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.dedup import dedup_survivors
+
+    sf = "/root/testdata/sf0.001"
+    lg = dedup_survivors(sf, policy="longest").to_pandas().sort_values("cluster_rep").reset_index(drop=True)
+    mi = dedup_survivors(sf, policy="min_id").to_pandas().sort_values("cluster_rep").reset_index(drop=True)
+    # identical cluster structure
+    pd.testing.assert_frame_equal(
+        lg[["cluster_rep", "cluster_size"]], mi[["cluster_rep", "cluster_size"]]
+    )
+    # min_id survivor IS the rep; longest diverges wherever a mutant
+    # (strictly longer) lives in the cluster
+    assert (mi["survivor_id"] == mi["cluster_rep"]).all()
+    mutant_clusters = lg[lg["survivor_id"] >= 2_000_000]
+    assert len(mutant_clusters) > 0
+    # natural near-dup clusters may also pick a longer base member, so
+    # divergence below 1M is legitimate; cluster structure equality
+    # above is the membership sanity check
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown policy"):
+        dedup_survivors(sf, policy="nope")
