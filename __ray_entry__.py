@@ -311,7 +311,18 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_by_lang": text.quality_percentile_by_lang,
         "curate_corpus": curation.curate_corpus,
         "dedup_survivors": dedup.dedup_survivors,
+        # SemDeDup (Abbas et al. 2023) — per-vector semantic keep/drop
+        # verdicts; no SQL twin (k-means + sequential leader scan, like
+        # the sketch family); pinned by the straight-line numpy
+        # reference in tests/test_semdedup.py
+        "semantic_dedup": _semantic_dedup,
     }
+
+
+def _semantic_dedup(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.semdedup import semantic_dedup
+
+    return semantic_dedup(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -110,6 +110,7 @@ def run_bench() -> dict:
         htmlx,
         relational,
         sampling,
+        semdedup,
         similarity,
         text,
     )
@@ -176,6 +177,7 @@ def run_bench() -> dict:
     timeq("epoch_shuffle", sampling.epoch_shuffle, consume="count")
     timeq("extract_main_content", htmlx.extract_main_content, consume="count")
     timeq("dedup_incremental", dedup.dedup_incremental, consume="count")
+    timeq("semantic_dedup", semdedup.semantic_dedup, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

@@ -104,8 +104,10 @@ def test_parity(ray_session, entry_mod, con, name):
 # ops without a SQL twin, each pinned by its own reference gate:
 # the t-digest sketch by its error-bound test (exact twin
 # value_percentiles IS hash-verified), the perceptual image hash by
-# brute-force all-pairs equality (hash over decoded binary content)
-ROWS_ONLY = {"value_percentiles_sketch", "media_phash_dup"}
+# brute-force all-pairs equality (hash over decoded binary content),
+# SemDeDup by an independent straight-line numpy reference of the
+# same spec (tests/test_semdedup.py)
+ROWS_ONLY = {"value_percentiles_sketch", "media_phash_dup", "semantic_dedup"}
 
 
 def test_every_query_has_an_oracle(entry_mod):
