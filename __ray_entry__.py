@@ -311,6 +311,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_by_lang": text.quality_percentile_by_lang,
         "curate_corpus": curation.curate_corpus,
         "dedup_survivors": dedup.dedup_survivors,
+        # windowed ExactSubstr (Lee et al. 2022) — duplicated-substring
+        # removal at any token offset; SQL twin replays the rule
+        "dedup_substrings": dedup.dedup_substrings,
         # SemDeDup (Abbas et al. 2023) — per-vector semantic keep/drop
         # verdicts; no SQL twin (k-means + sequential leader scan, like
         # the sketch family); pinned by the straight-line numpy

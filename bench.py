@@ -178,6 +178,7 @@ def run_bench() -> dict:
     timeq("extract_main_content", htmlx.extract_main_content, consume="count")
     timeq("dedup_incremental", dedup.dedup_incremental, consume="count")
     timeq("semantic_dedup", semdedup.semantic_dedup, consume="count")
+    timeq("dedup_substrings", dedup.dedup_substrings, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

@@ -809,6 +809,62 @@ def dedup_segments_sql(seg_len: int = 10) -> str:
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+def dedup_substrings_sql(w: int = 8) -> str:
+    """Windowed-ExactSubstr twin: regenerates the boilerplate
+    augmentation from the engine's constants, enumerates every
+    overlapping ``w``-token window, keys duplicate-tagging on the raw
+    window STRING (the engine keys on its md5 — a collision would
+    surface as a parity failure), replays the global-first rule as
+    ``row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) > 1``,
+    expands tagged occurrences to per-token coverage, and rebuilds the
+    unmasked token sequence."""
+    from .pipelines.curation import SEG_DUP_MOD, SEG_DUP_PHRASES
+
+    p0, p1, p2 = SEG_DUP_PHRASES
+    return rf"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % {SEG_DUP_MOD} = 0 THEN
+                   (CASE doc_id % 3 WHEN 0 THEN '{p0}' WHEN 1 THEN '{p1}'
+                         ELSE '{p2}' END) || ' ' || coalesce(text, '')
+                 ELSE coalesce(text, '') END AS text
+          FROM documents
+        ), ws AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM aug
+        ), wins AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i+1 : i+{w}], ' ') AS win
+          FROM (SELECT doc_id, w,
+                       unnest(range(greatest(len(w) - {w} + 1, 0))) AS i
+                FROM ws)
+        ), tagged AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY win
+                                      ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY win) AS cnt
+            FROM wins)
+          WHERE cnt >= 2 AND rn > 1
+        ), cov AS (
+          SELECT DISTINCT doc_id, pos + u AS ti
+          FROM tagged, (SELECT unnest(range({w})) AS u)
+        ), toks AS (
+          SELECT doc_id, i AS ti, w[i+1] AS tok
+          FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM ws)
+        ), agg AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 count(c.ti) AS n_masked,
+                 coalesce(string_agg(tok, ' ' ORDER BY t.ti)
+                          FILTER (WHERE c.ti IS NULL), '') AS text_clean
+          FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def pii_scrub_sql() -> str:
     """PII-scrub twin: regenerates the deterministic PII planting and
     runs the byte-identical RE2 regexes (count emails → redact emails →
@@ -909,6 +965,7 @@ def corpus_oracles() -> dict[str, str]:
         "range_join_events": range_join_events_sql(),
         # r4 curation additions (pipelines/curation.py + merge_paginated)
         "dedup_segments": dedup_segments_sql(),
+        "dedup_substrings": dedup_substrings_sql(),
         "pii_scrub": pii_scrub_sql(),
         "mix_sample": mix_sample_sql(),
         "merge_paginated": merge_paginated_sql(),

@@ -1090,3 +1090,183 @@ def dedup_survivors(sf_dir: str, policy: str = "longest", **cluster_kwargs):
         )
 
     return agg.map_batches(dec, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-substring removal (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 8  # window length in tokens
+
+
+def _flat_windows(texts: pd.Series, w: int):
+    """Flatten a batch's texts into overlapping ``w``-token windows.
+
+    Returns ``(tok_counts, win_row_idx, win_pos, win_strings)`` — per-row
+    token counts, each window's row index, its starting TOKEN position
+    within the row, and the space-joined window string. A row with fewer
+    than ``w`` tokens contributes no windows (mirrors
+    ``unnest(range(len(toks) - w + 1))`` in the SQL twin). Vectorized
+    like ``curation._flat_grams`` (which this extends with positions):
+    one explode + ``w - 1`` shifted object-array joins, no per-row loop.
+    """
+    toks = texts.str.findall(_TOKEN_RE)
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    empty = (
+        counts,
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=object),
+    )
+    if counts.sum() == 0:
+        return empty
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+    row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    row_start = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=row_start[1:])
+    if w == 1:
+        pos = np.arange(len(flat), dtype=np.int64) - row_start[row_idx]
+        return counts, row_idx, pos, flat
+    if len(flat) < w:
+        return empty
+    # window starting at flat index i is valid iff token i+w-1 is in
+    # the same row
+    starts = np.flatnonzero(row_idx[: -(w - 1)] == row_idx[w - 1 :])
+    if starts.size == 0:
+        return empty
+    parts = pd.Series(flat[starts], dtype=object)
+    for j in range(1, w):
+        parts = parts + " " + pd.Series(flat[starts + j], dtype=object)
+    g_rows = row_idx[starts]
+    return counts, g_rows, starts - row_start[g_rows], parts.to_numpy()
+
+
+def dedup_substrings(
+    sf_dir: str,
+    w: int = SUBSTR_W,
+    num_buckets: int = 256,
+):
+    """Cross-document duplicated-substring removal — the windowed
+    ExactSubstr rule (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv 2107.06499; their suffix-array
+    maximal-match pass is the single-machine formulation — the fixed-
+    width sliding-window variant below is the standard distributed
+    approximation, and unlike §2's whole-document / disjoint-segment
+    dedup it catches duplication at ANY token offset).
+
+    Rule: every ``w``-token window occurrence whose exact window string
+    occurs ≥2 times in the corpus — counting same-document repeats —
+    is *duplicate-tagged* UNLESS it is the corpus-wide first occurrence
+    (ordered by ``(doc_id, pos)``). A token is masked iff some
+    duplicate-tagged occurrence covers it; each document is rebuilt
+    from its unmasked tokens. Output: one row per document —
+    ``(doc_id, n_tokens, n_masked, text_clean)``. First occurrences
+    keep their text, so exactly one copy of every duplicated run
+    survives — the paper's retain-one semantics.
+
+    Scale shape — the ``dedup_segments`` idiom, TWO exchanges total,
+    document text crossing the wire exactly ONCE:
+
+    1. corpus scan → ``(h1, h2, ord)`` per window occurrence (24 B; md5
+       window identity, never the window text). This is O(total tokens)
+       rows — the honest cost of substring-level dedup; the per-token
+       constant is what the suffix array also pays, just locally.
+    2. tag selection — hash-bucketed groupby; within a bucket a sort +
+       ``duplicated(keep='first')`` marks every non-first occurrence of
+       each window (vectorized; ``ord = doc_id << 21 | pos`` makes
+       lexicographic min == global first).
+    3. tagged rows UNION document rows (typed Arrow tables), ONE
+       doc-bucketed groupby co-locates each doc's text with its masked
+       positions; the rebuild computes interval coverage with a single
+       +1/−1 diff-array cumsum over the bucket's flattened tokens
+       (windows never escape their document, so the running sum resets
+       to zero at every document boundary by construction).
+
+    The boilerplate augmentation (``curation.SEG_DUP_PHRASES``) plants
+    cross-document duplicated runs exactly as for ``dedup_segments``;
+    the DuckDB twin regenerates it and replays the rule with
+    ``row_number() OVER (PARTITION BY win ORDER BY doc_id, pos)``.
+    """
+    from .curation import _SEG_IDX_BITS, _augment_boilerplate, _seg_hashes
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        texts = _augment_boilerplate(df["text"], ids)
+        counts, rows, pos, wins = _flat_windows(texts, w)
+        if len(pos) and (pos.max() >> _SEG_IDX_BITS):
+            raise ValueError(f"document exceeds 2^{_SEG_IDX_BITS} tokens")
+        h1, h2 = _seg_hashes(wins)
+        return pd.DataFrame(
+            {
+                "h1": h1,
+                "h2": h2,
+                "b": (h1 % num_buckets).astype(np.int64),
+                "ord": (ids[rows] << _SEG_IDX_BITS) | pos,
+            }
+        )
+
+    def bucket_tagged(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["h1", "h2", "ord"])
+        dup = g[g.duplicated(["h1", "h2"], keep="first")]
+        ords = dup["ord"].to_numpy(dtype=np.int64)
+        ids = ords >> _SEG_IDX_BITS
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "db": pa.array(ids % num_buckets, type=pa.int64()),
+                "pos": pa.array(ords & ((1 << _SEG_IDX_BITS) - 1), type=pa.int64()),
+                "text": pa.nulls(len(ids), type=pa.string()),
+            }
+        )
+
+    tagged = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("b")
+        .map_groups(bucket_tagged, batch_format="pandas")
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "db": pa.array(ids % num_buckets, type=pa.int64()),
+                "pos": pa.array(np.full(len(ids), -1), type=pa.int64()),
+                "text": t["text"],
+            }
+        )
+
+    unioned = ds.map_batches(doc_rows, batch_format="pyarrow").union(tagged)
+
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        is_doc = group["pos"].to_numpy() < 0
+        docs = group[is_doc]
+        ids = docs["doc_id"].to_numpy(dtype=np.int64)
+        texts = _augment_boilerplate(docs["text"], ids)
+        counts, tok_rows, _, flat = _flat_windows(texts, 1)
+        row_start = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        t_ids = group["doc_id"].to_numpy(dtype=np.int64)[~is_doc]
+        t_pos = group["pos"].to_numpy(dtype=np.int64)[~is_doc]
+        order = np.argsort(ids, kind="stable")
+        loc = order[np.searchsorted(ids[order], t_ids)]
+        diff = np.zeros(int(counts.sum()) + 1, dtype=np.int64)
+        np.add.at(diff, row_start[loc] + t_pos, 1)
+        np.add.at(diff, row_start[loc] + t_pos + w, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        n_masked = np.bincount(tok_rows[covered], minlength=len(ids)).astype(np.int64)
+        kept = pd.Series(flat[~covered]).groupby(tok_rows[~covered]).agg(" ".join)
+        clean = np.full(len(ids), "", dtype=object)
+        clean[kept.index.to_numpy()] = kept.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": counts,
+                "n_masked": n_masked,
+                "text_clean": clean,
+            }
+        )
+
+    return unioned.groupby("db").map_groups(rebuild, batch_format="pandas")

@@ -132,7 +132,7 @@ def semantic_dedup(
     """
     import ray
 
-    cents = _kmeans_centroids_distributed(sf_dir, k)
+    cents = _kmeans_centroids_distributed(sf_dir, k, iters)
     cents_ref = ray.put(cents)
 
     ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
