@@ -319,7 +319,25 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # the sketch family); pinned by the straight-line numpy
         # reference in tests/test_semdedup.py
         "semantic_dedup": _semantic_dedup,
+        # Product quantization (Jégou et al. 2011) — PQ codes +
+        # reconstruction error and ADC approximate top-k; no SQL twin
+        # (per-subspace k-means), pinned by the straight-line reference
+        # + planted-copy recovery in tests/test_pq.py
+        "pq_encode": _pq_encode,
+        "ann_topk_pq": _ann_topk_pq,
     }
+
+
+def _pq_encode(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.pq import pq_encode
+
+    return pq_encode(sf_dir)
+
+
+def _ann_topk_pq(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.pq import ann_topk_pq
+
+    return ann_topk_pq(sf_dir)
 
 
 def _semantic_dedup(sf_dir: str):

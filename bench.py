@@ -114,6 +114,7 @@ def run_bench() -> dict:
         similarity,
         text,
     )
+    from pdf_ocr_api_ray.pipelines import pq as pq_mod
     from pdf_ocr_api_ray.pipelines.extraction import build_extraction
 
     corpus_path, n_docs, n_chunks = build_corpus()
@@ -179,6 +180,7 @@ def run_bench() -> dict:
     timeq("dedup_incremental", dedup.dedup_incremental, consume="count")
     timeq("semantic_dedup", semdedup.semantic_dedup, consume="count")
     timeq("dedup_substrings", dedup.dedup_substrings, consume="count")
+    timeq("pq_encode", pq_mod.pq_encode, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

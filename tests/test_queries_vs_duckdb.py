@@ -107,7 +107,14 @@ def test_parity(ray_session, entry_mod, con, name):
 # brute-force all-pairs equality (hash over decoded binary content),
 # SemDeDup by an independent straight-line numpy reference of the
 # same spec (tests/test_semdedup.py)
-ROWS_ONLY = {"value_percentiles_sketch", "media_phash_dup", "semantic_dedup"}
+ROWS_ONLY = {
+    "value_percentiles_sketch",
+    "media_phash_dup",
+    "semantic_dedup",
+    # PQ: per-subspace k-means + argmin codes — reference-pinned
+    "pq_encode",
+    "ann_topk_pq",
+}
 
 
 def test_every_query_has_an_oracle(entry_mod):
