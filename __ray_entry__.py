@@ -325,7 +325,24 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # + planted-copy recovery in tests/test_pq.py
         "pq_encode": _pq_encode,
         "ann_topk_pq": _ann_topk_pq,
+        # distributed BPE tokenizer training + corpus re-encoding
+        # (Sennrich et al. 2016); no SQL twin (iterative merge loop),
+        # pinned by the straight-line reference in tests/test_bpe.py
+        "train_bpe": _train_bpe,
+        "bpe_encode": _bpe_encode,
     }
+
+
+def _train_bpe(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.bpe import train_bpe
+
+    return train_bpe(sf_dir)
+
+
+def _bpe_encode(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.bpe import bpe_encode
+
+    return bpe_encode(sf_dir)
 
 
 def _pq_encode(sf_dir: str):

@@ -114,6 +114,9 @@ ROWS_ONLY = {
     # PQ: per-subspace k-means + argmin codes — reference-pinned
     "pq_encode",
     "ann_topk_pq",
+    # BPE: iterative merge loop — reference-pinned
+    "train_bpe",
+    "bpe_encode",
 }
 
 
