@@ -330,7 +330,17 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # pinned by the straight-line reference in tests/test_bpe.py
         "train_bpe": _train_bpe,
         "bpe_encode": _bpe_encode,
+        # DSIR importance-resampling selection (Xie et al. 2023); no
+        # SQL twin (libm log), pinned by the straight-line reference +
+        # planted target/raw separation in tests/test_dsir.py
+        "dsir_select": _dsir_select,
     }
+
+
+def _dsir_select(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.dsir import dsir_select
+
+    return dsir_select(sf_dir)
 
 
 def _train_bpe(sf_dir: str):

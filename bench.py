@@ -114,7 +114,7 @@ def run_bench() -> dict:
         similarity,
         text,
     )
-    from pdf_ocr_api_ray.pipelines import bpe
+    from pdf_ocr_api_ray.pipelines import bpe, dsir
     from pdf_ocr_api_ray.pipelines import pq as pq_mod
     from pdf_ocr_api_ray.pipelines.extraction import build_extraction
 
@@ -183,6 +183,7 @@ def run_bench() -> dict:
     timeq("dedup_substrings", dedup.dedup_substrings, consume="count")
     timeq("pq_encode", pq_mod.pq_encode, consume="count")
     timeq("bpe_encode", bpe.bpe_encode, consume="count")
+    timeq("dsir_select", dsir.dsir_select, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

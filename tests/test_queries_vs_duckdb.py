@@ -117,6 +117,8 @@ ROWS_ONLY = {
     # BPE: iterative merge loop — reference-pinned
     "train_bpe",
     "bpe_encode",
+    # DSIR: libm log weights — reference-pinned
+    "dsir_select",
 }
 
 
