@@ -334,7 +334,16 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # SQL twin (libm log), pinned by the straight-line reference +
         # planted target/raw separation in tests/test_dsir.py
         "dsir_select": _dsir_select,
+        # IVF-PQ composition (FAISS's production index shape) —
+        # rows-only like its two pinned constituents
+        "ann_topk_ivfpq": _ann_topk_ivfpq,
     }
+
+
+def _ann_topk_ivfpq(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.pq import ann_topk_ivfpq
+
+    return ann_topk_ivfpq(sf_dir)
 
 
 def _dsir_select(sf_dir: str):

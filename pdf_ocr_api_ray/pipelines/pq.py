@@ -220,3 +220,80 @@ def ann_topk_pq(
         )
 
     return partials.groupby("probe_id").map_groups(final_topk, batch_format="pandas")
+
+
+def ann_topk_ivfpq(
+    sf_dir: str,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = PQ_ITERS,
+    n_probe_cells: int = 4,
+):
+    """IVF-PQ — the production retrieval index shape (FAISS's
+    ``IVFx,PQy``; Jégou et al. 2011 §V): the IVF coarse quantizer
+    prunes WHICH vectors a probe touches (only its ``n_probe_cells``
+    nearest cells are scanned) and PQ codes shrink EACH comparison to
+    table lookups. Composition of two already-pinned pieces — the
+    sample-trained spherical coarse quantizer of ``ann_topk_ivf`` and
+    the ADC machinery of ``ann_topk_pq`` — same corpus contract (the
+    planted probe copies land in each probe's own nearest cell, so the
+    planted top-k is recovered deterministically; tests also pin
+    equality with flat ``ann_topk_pq`` on this corpus and layout
+    invariance). Output: ``(probe_id, rank, neighbor_id)``."""
+    import ray
+
+    from .similarity import IVF_CELLS, IVF_SAMPLE, _kmeans_centroids
+
+    probe_ids, probes = _probe_matrix(sf_dir)
+    sample = _smallest_by_vec_id(sf_dir, IVF_SAMPLE)
+    cents = _kmeans_centroids(_stack(sample), IVF_CELLS)
+    books = _pq_train(sf_dir, m, ks, iters)
+    sub = books.shape[2]
+    tabs = (
+        (probes.reshape(len(probes), m, 1, sub) - books[None, :, :, :]) ** 2
+    ).sum(axis=-1)
+    # per probe: its n_probe_cells nearest coarse cells (ties → cell id)
+    probe_cells = np.argsort(-(probes @ cents.T), axis=1, kind="stable")[
+        :, :n_probe_cells
+    ]
+    state_ref = ray.put((cents, books, np.round(tabs, 12), probe_cells))
+    pid_arr = probe_ids.astype(np.int64)
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda df: _augment_probe_dups(df, pid_arr), batch_format="pandas"
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c, b, t, pcells = ray.get(state_ref)
+        v = _stack(df)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        cells = np.argmax(v @ c.T, axis=1)
+        codes, _ = _assign_codes(v, b)
+        out = []
+        cols = np.arange(m)
+        for p in range(len(pid_arr)):
+            mask = np.isin(cells, pcells[p]) & (ids != pid_arr[p])
+            if not mask.any():
+                continue
+            adc = t[p][cols, codes[mask]].sum(axis=1)
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, adc))[:TOP_K]
+            for i in order:
+                out.append((int(pid_arr[p]), int(cand_ids[i]), float(adc[i])))
+        return pd.DataFrame(out, columns=["probe_id", "neighbor_id", "adc"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["adc", "neighbor_id"]).head(TOP_K).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "probe_id": g["probe_id"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+            }
+        )
+
+    return partials.groupby("probe_id").map_groups(final_topk, batch_format="pandas")

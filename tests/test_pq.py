@@ -127,6 +127,30 @@ def test_pq_layout_invariant(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_exact=True)
 
 
+def test_ivfpq_recovers_planted_and_matches_flat_pq(ray_session):
+    """The IVF cell filter must not lose the planted copies (identical
+    vectors share the probe's own nearest cell), so IVF-PQ returns
+    exactly the flat-PQ answer on this corpus — the composition check:
+    pruning changed the COST, not the result."""
+    from pdf_ocr_api_ray.pipelines.pq import ann_topk_ivfpq, ann_topk_pq
+
+    got = (
+        ann_topk_ivfpq(SF)
+        .to_pandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    flat = (
+        ann_topk_pq(SF)
+        .to_pandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, flat)
+    for pid, g in got.groupby("probe_id"):
+        assert set(g["neighbor_id"]) == {200_000 + int(pid) * 100 + j for j in range(10)}
+
+
 def test_pq_rejects_indivisible_geometry(ray_session):
     from pdf_ocr_api_ray.pipelines.pq import _pq_train
 

@@ -119,6 +119,8 @@ ROWS_ONLY = {
     "bpe_encode",
     # DSIR: libm log weights — reference-pinned
     "dsir_select",
+    # IVF-PQ composition of two pinned pieces
+    "ann_topk_ivfpq",
 }
 
 
