@@ -337,6 +337,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ composition (FAISS's production index shape) —
         # rows-only like its two pinned constituents
         "ann_topk_ivfpq": _ann_topk_ivfpq,
+        # Stupid Backoff bigram-LM fluency (Brants et al. 2007) —
+        # integer-quantized terms, full SQL twin
+        "bigram_fluency": curation.bigram_fluency,
     }
 
 

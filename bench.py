@@ -184,6 +184,7 @@ def run_bench() -> dict:
     timeq("pq_encode", pq_mod.pq_encode, consume="count")
     timeq("bpe_encode", bpe.bpe_encode, consume="count")
     timeq("dsir_select", dsir.dsir_select, consume="count")
+    timeq("bigram_fluency", curation.bigram_fluency, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

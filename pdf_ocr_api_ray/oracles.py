@@ -927,6 +927,76 @@ def merge_paginated_sql(chars_per_page: int = 11) -> str:
         )"""
 
 
+def bigram_fluency_sql(
+    top_bigrams: int = 1 << 20, top_words: int = 1 << 20
+) -> str:
+    """Stupid-Backoff-fluency twin: rebuilds the unigram / bigram
+    tables with the engine's exact cap tie-break (count DESC, gram
+    ASC), replays the integer-quantized term rule (int64 floor
+    division at FLUENCY_SCALE), and performs the one final double
+    division — bit-identical by the quantized-sum rule."""
+    from .pipelines.curation import FLUENCY_SCALE, SB_LAMBDA_DEN, SB_LAMBDA_NUM
+
+    scale = FLUENCY_SCALE
+    return rf"""
+        WITH nt AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_tok
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, i AS pos, w[i+1] AS tok
+          FROM (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w,
+                       unnest(range(len(w))) AS i
+                FROM documents)
+        ), uni AS (
+          SELECT tok AS g, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+        ), n_total AS (
+          SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM uni
+        ), uni_cap AS (
+          SELECT g, c FROM (
+            SELECT g, c, row_number() OVER (ORDER BY c DESC, g ASC) AS rn
+            FROM uni) WHERE rn <= {top_words}
+        ), big AS (
+          SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2,
+                 t1.tok || ' ' || t2.tok AS g
+          FROM toks t1 JOIN toks t2
+            ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ), bcnt AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY g
+        ), bcap AS (
+          SELECT g, c FROM (
+            SELECT g, c, row_number() OVER (ORDER BY c DESC, g ASC) AS rn
+            FROM bcnt) WHERE rn <= {top_bigrams}
+        ), terms AS (
+          SELECT b.doc_id,
+                 CASE WHEN bc.c IS NOT NULL AND u1.c IS NOT NULL
+                      THEN 1 ELSE 0 END AS hit,
+                 CASE WHEN bc.c IS NOT NULL AND u1.c IS NOT NULL
+                      THEN (bc.c * {scale}) // greatest(u1.c, 1)
+                      ELSE (coalesce(u2.c, 0) * {SB_LAMBDA_NUM * scale})
+                           // ({SB_LAMBDA_DEN} * greatest((SELECT n FROM n_total), 1))
+                 END AS term
+          FROM big b
+          LEFT JOIN bcap bc ON bc.g = b.g
+          LEFT JOIN uni_cap u1 ON u1.g = b.w1
+          LEFT JOIN uni_cap u2 ON u2.g = b.w2
+        ), agg AS (
+          SELECT doc_id, CAST(sum(term) AS BIGINT) AS s,
+                 CAST(sum(hit) AS BIGINT) AS hits
+          FROM terms GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(greatest(nt.n_tok - 1, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(a.hits, 0) AS BIGINT) AS n_hits,
+               CASE WHEN nt.n_tok > 1
+                    THEN CAST(coalesce(a.s, 0) AS DOUBLE)
+                         / CAST(greatest(nt.n_tok - 1, 0) * {scale} AS DOUBLE)
+               END AS fluency
+        FROM documents d
+        JOIN nt ON nt.doc_id = d.doc_id
+        LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -971,6 +1041,8 @@ def corpus_oracles() -> dict[str, str]:
         "merge_paginated": merge_paginated_sql(),
         # late-r4 holdout split (library op; rotated_out gate)
         "split_corpus": split_corpus_sql(),
+        # continued-r4 Stupid Backoff bigram LM fluency
+        "bigram_fluency": bigram_fluency_sql(),
         # late-r4 persisted-index near-dup: the minhash oracle's exact
         # cross (base x increment) restriction
         "neardup_index": f"""SELECT * FROM ({dedup_minhash_lsh_sql()})

@@ -825,3 +825,210 @@ def curate_corpus(sf_dir: str, frac: float = 0.2):
             Sum("n_chunks", alias_name="n_chunks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff bigram fluency
+
+
+SB_LAMBDA_NUM = 2  # λ = 0.4 — Brants et al. 2007's backoff factor, kept
+SB_LAMBDA_DEN = 5  # as an exact rational so every term is integer math
+FLUENCY_SCALE = 10**9
+
+
+def bigram_fluency(
+    sf_dir: str, top_bigrams: int = 1 << 20, top_words: int = 1 << 20
+):
+    """Per-document corpus fluency under a Stupid Backoff bigram LM
+    (Brants et al. 2007) — the distributed n-gram-LM quality signal
+    that sits between ``token_familiarity`` (unigram familiarity) and
+    real perplexity filtering: word-salad documents whose *words* are
+    common but whose *transitions* are not score low.
+
+    Each bigram position ``(w1, w2)`` scores
+
+    - ``c(w1 w2) / c(w1)`` when the bigram is in the capped corpus
+      bigram table (a *hit*), else
+    - ``λ · c(w2) / N`` (backoff to the unigram MLE, λ = 2/5).
+
+    ``fluency`` is the mean position score; ``n_hits`` counts the
+    bigram-route positions. Every term is quantized to an integer at
+    ``FLUENCY_SCALE`` via pure int64 floor-division — sums are exact
+    and order-independent, and the single final double division makes
+    the SQL twin bit-identical (the engine-wide quantized-sum rule).
+    Int64 headroom: the backoff numerator ``c(w2) · 2·10⁹`` requires
+    the hottest word's corpus count < 4.6·10⁹; beyond that (a ~10¹⁰⁺
+    token corpus) drop FLUENCY_SCALE to 10⁶ or widen to the HUGEINT /
+    object path — the cap is documented, not silent.
+
+    Scale shape (the driver never holds a vocabulary):
+
+    1. unigram AND bigram counts ride ONE corpus scan and ONE
+       vocabulary-sized ``groupby`` — a ``\\S+`` token can never
+       contain the space that joins a bigram key, so the two gram
+       spaces share the count table collision-free; the result is
+       materialized once (bounded by the gram vocabulary, not the
+       corpus);
+    2. the corpus token total ``N`` folds from the materialized
+       blocks, and each capped table (top-``top_words`` /
+       top-``top_bigrams`` by ``(count DESC, gram ASC)``) folds
+       through the distributed partial-top-k chain — ≤ cap rows ever
+       reach the driver (the standard web-scale LM-table move);
+    3. both tables broadcast once as sorted numpy arrays (zero-copy
+       from plasma); ONE stateless scoring scan does three vectorized
+       ``searchsorted`` lookups and per-row ``bincount`` sums.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    # unigrams are \S+ runs (never contain a space) and bigram keys are
+    # space-joined, so the two gram spaces cannot collide as strings —
+    # BOTH count tables ride ONE corpus scan and ONE vocabulary-sized
+    # exchange, split afterwards on the materialized bounded blocks
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        frames = []
+        for n in (1, 2):
+            _, _, grams = _flat_grams(texts, n)
+            counts = pd.Series(grams, dtype=object).value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "g": counts.index.astype(str),
+                        "partial": counts.values.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    grams = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("partial", alias_name="c"))
+        .materialize()  # bounded by the (uni+bi)gram vocabulary
+    )
+
+    # ONE fold chain delivers all three bounded results — the capped
+    # unigram table, the capped bigram table, and the corpus token
+    # total N (riding as a g="" sentinel row: "" is neither a \S+
+    # token nor a space-joined bigram, so it cannot collide)
+    def cap_block(t: pa.Table, first: bool) -> pa.Table:
+        is_tot = pc.equal(t["g"], "")
+        rest = t.filter(pc.invert(is_tot))
+        is_big = pc.match_substring(rest["g"], " ")
+        sides = []
+        for side, k in ((rest.filter(is_big), top_bigrams),
+                        (rest.filter(pc.invert(is_big)), top_words)):
+            if side.num_rows > k:
+                idx = pc.select_k_unstable(
+                    side, k=k,
+                    sort_keys=[("c", "descending"), ("g", "ascending")],
+                )
+                side = side.take(idx)
+            sides.append(side)
+        # first pass sums the block's unigram occurrences; later passes
+        # only merge already-emitted totals (never re-count)
+        tot_src = sides[1]["c"] if first else t.filter(is_tot)["c"]
+        tot = pc.sum(tot_src).as_py() or 0
+        sides.append(
+            pa.table({"g": pa.array([""], pa.string()),
+                      "c": pa.array([tot], pa.int64())})
+        )
+        return pa.concat_tables(
+            [s.select(["g", "c"]) for s in sides if s.num_rows]
+        )
+
+    out = (
+        grams.map_batches(lambda t: cap_block(t, True), batch_format="pyarrow")
+        .repartition(32)
+        .map_batches(lambda t: cap_block(t, False), batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lambda t: cap_block(t, False), batch_format="pyarrow")
+        .to_pandas()  # ≤ top_words + top_bigrams + 1 rows, always
+    )
+    if "g" not in out.columns:  # empty-Dataset schema loss guard
+        out = pd.DataFrame(
+            {"g": pd.Series([], dtype=str), "c": pd.Series([], dtype="int64")}
+        )
+    is_tot = out["g"] == ""
+    n_total = int(out.loc[is_tot, "c"].sum())
+    rest = out[~is_tot]
+    is_big = rest["g"].str.contains(" ", regex=False)
+
+    def sorted_ref(pdf: pd.DataFrame):
+        g = pdf["g"].to_numpy(dtype=str)
+        c = pdf["c"].to_numpy(dtype=np.int64)
+        o = np.argsort(g)
+        return ray.put((g[o], c[o]))
+
+    uni_ref = sorted_ref(rest[~is_big])
+    big_ref = sorted_ref(rest[is_big])
+
+    scale = FLUENCY_SCALE
+    back_num = SB_LAMBDA_NUM * scale
+    back_den = SB_LAMBDA_DEN * max(n_total, 1)
+
+    def lookup(table: np.ndarray, cnts: np.ndarray, keys: np.ndarray):
+        keys = keys.astype(str)
+        if not len(table):
+            z = np.zeros(len(keys), dtype=np.int64)
+            return np.zeros(len(keys), dtype=bool), z
+        pos = np.searchsorted(table, keys)
+        pos_c = np.clip(pos, 0, len(table) - 1)
+        found = (pos < len(table)) & (table[pos_c] == keys)
+        return found, np.where(found, cnts[pos_c], 0)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        uwords, ucnts = ray.get(uni_ref)
+        bgrams, bcnts = ray.get(big_ref)
+        toks = df["text"].fillna("").str.findall(_TOKEN_RE)
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        n_big = np.maximum(n_tok - 1, 0)
+        n_rows = len(df)
+        if n_big.sum() == 0:
+            s_q = np.zeros(n_rows, dtype=np.int64)
+            n_hits = np.zeros(n_rows, dtype=np.int64)
+        else:
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), n_tok)
+            valid = row_idx[:-1] == row_idx[1:]
+            w1 = flat[:-1][valid]
+            w2 = flat[1:][valid]
+            grams = (
+                pd.Series(w1, dtype=object) + " " + pd.Series(w2, dtype=object)
+            ).to_numpy()
+            g_rows = row_idx[:-1][valid]
+            b_found, c_b = lookup(bgrams, bcnts, grams)
+            u1_found, c_w1 = lookup(uwords, ucnts, w1)
+            _, c_w2 = lookup(uwords, ucnts, w2)
+            hit = b_found & u1_found
+            term = np.where(
+                hit,
+                (c_b * scale) // np.maximum(c_w1, 1),
+                (c_w2 * back_num) // back_den,
+            )
+            # terms ≤ FLUENCY_SCALE, docs ≤ 2^23 grams → float64-exact
+            s_q = np.bincount(
+                g_rows, weights=term.astype(np.float64), minlength=n_rows
+            ).astype(np.int64)
+            n_hits = np.bincount(
+                g_rows, weights=hit.astype(np.float64), minlength=n_rows
+            ).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            fluency = np.where(
+                n_big > 0, s_q / (n_big.astype(np.float64) * float(scale)), np.nan
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_bigrams": n_big,
+                "n_hits": n_hits,
+                "fluency": fluency,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
