@@ -340,6 +340,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # Stupid Backoff bigram-LM fluency (Brants et al. 2007) —
         # integer-quantized terms, full SQL twin
         "bigram_fluency": curation.bigram_fluency,
+        # cross-source n-gram overlap matrix (dump-vs-dump
+        # contamination report) — exact, full SQL twin
+        "source_overlap": dedup.source_overlap,
     }
 
 

@@ -185,6 +185,7 @@ def run_bench() -> dict:
     timeq("bpe_encode", bpe.bpe_encode, consume="count")
     timeq("dsir_select", dsir.dsir_select, consume="count")
     timeq("bigram_fluency", curation.bigram_fluency, consume="count")
+    timeq("source_overlap", dedup.source_overlap, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

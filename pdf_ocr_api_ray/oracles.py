@@ -997,6 +997,46 @@ def bigram_fluency_sql(
         LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 
 
+def source_overlap_sql(n: int = 3) -> str:
+    """Cross-source overlap twin: distinct (source, gram-md5) via the
+    same little-endian 64-bit md5 as the engine (identical even under
+    collisions), sizes + pairwise intersections by self-join, all
+    source pairs via a sizes cross join, one final int/int division."""
+    assert n == 3, "twin is written for the registry default n=3"
+    h = _md5_le64("a.w || ' ' || b.w || ' ' || c.w")
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(ws) AS w,
+                   unnest(range(1, len(ws) + 1)) AS i
+            FROM (SELECT doc_id, source,
+                         regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+                  FROM documents)
+        ), grams AS (
+            SELECT DISTINCT a.source, {h} AS h
+            FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        ), sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM grams GROUP BY source
+        ), inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM grams a JOIN grams b
+              ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT sa.source AS src_a, sb.source AS src_b,
+               sa.n AS n_a, sb.n AS n_b,
+               coalesce(i.n_common, 0) AS n_common,
+               coalesce(i.n_common, 0)
+                 / (sa.n + sb.n - coalesce(i.n_common, 0)) AS jaccard
+        FROM sizes sa
+        JOIN sizes sb ON sa.source < sb.source
+        LEFT JOIN inter i
+          ON i.src_a = sa.source AND i.src_b = sb.source"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -1043,6 +1083,8 @@ def corpus_oracles() -> dict[str, str]:
         "split_corpus": split_corpus_sql(),
         # continued-r4 Stupid Backoff bigram LM fluency
         "bigram_fluency": bigram_fluency_sql(),
+        # continued-r4 cross-source n-gram overlap matrix
+        "source_overlap": source_overlap_sql(),
         # late-r4 persisted-index near-dup: the minhash oracle's exact
         # cross (base x increment) restriction
         "neardup_index": f"""SELECT * FROM ({dedup_minhash_lsh_sql()})

@@ -1270,3 +1270,111 @@ def dedup_substrings(
         )
 
     return unioned.groupby("db").map_groups(rebuild, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap matrix
+
+
+def source_overlap(sf_dir: str, n: int = 3, num_buckets: int = 256):
+    """Exact cross-source n-gram overlap matrix — the dump-vs-dump
+    contamination report (how much of crawl A's shingle space reappears
+    in crawl B) that corpus curation runs before choosing mixing
+    weights or dedup order. One row per source pair ``src_a < src_b``:
+    ``(src_a, src_b, n_a, n_b, n_common, jaccard)`` over each source's
+    DISTINCT n-gram set; a source with no n-gram-bearing documents has
+    no set and is absent from the matrix (both engines).
+
+    Scale shape: per-batch distinct ``(gram-md5, source)`` projection →
+    ONE hash-bucketed exchange (same-hash rows co-locate, so each
+    bucket computes global-distinct sets and pairwise co-occurrence
+    locally: a self-merge on the gram hash bounded by sources-per-gram
+    ≤ S) → a ≤ ``S² + S``-row groupby. The driver assembles the final
+    matrix from that metadata-bounded table — S is the number of
+    corpus sources (dumps), never corpus-scale. Gram hashing is md5
+    per DISTINCT gram through hash-based factorize (the DSIR idiom);
+    the SQL twin rebuilds the identical hash via DuckDB's md5, so even
+    a 64-bit collision (which would merge two grams in BOTH engines
+    the same way) cannot break parity.
+    """
+    import ray  # noqa: F401  (parity with sibling ops' lazy imports)
+    from ray.data.aggregate import Sum
+
+    from .curation import _flat_grams
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def shingles(df: pd.DataFrame) -> pd.DataFrame:
+        _, row_idx, grams = _flat_grams(df["text"].fillna(""), n)
+        if not len(grams):
+            return pd.DataFrame(
+                {
+                    "h": pd.Series([], dtype=np.uint64),
+                    "source": pd.Series([], dtype=str),
+                    "pb": pd.Series([], dtype=np.int32),
+                }
+            )
+        # n-gram row_idx from _flat_grams indexes gram STARTS: map each
+        # gram to its row's source
+        src = df["source"].to_numpy(dtype=object)[row_idx]
+        codes, uniq = pd.factorize(pd.Series(grams, dtype=object))
+        hu = np.fromiter(
+            (_stable64(g) for g in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        out = pd.DataFrame({"h": hu[codes], "source": src}).drop_duplicates()
+        out["source"] = out["source"].astype(str)
+        out["pb"] = (out["h"] % num_buckets).astype(np.int32)
+        return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.drop_duplicates(["h", "source"])  # global distinct (co-located)
+        sizes = gg["source"].value_counts()
+        m = gg.merge(gg, on="h")  # ≤ S rows per gram each side
+        m = m[m["source_x"] < m["source_y"]]
+        inter = m.groupby(["source_x", "source_y"]).size()
+        return pd.DataFrame(
+            {
+                "src_a": [*inter.index.get_level_values(0), *sizes.index],
+                # "" is not a valid source value: marks per-source size rows
+                "src_b": [*inter.index.get_level_values(1), *[""] * len(sizes)],
+                "cnt": np.concatenate(
+                    [inter.to_numpy(), sizes.to_numpy()]
+                ).astype(np.int64)
+                if len(inter) or len(sizes)
+                else np.array([], dtype=np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(shingles, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ S² + S rows — bounded by source count, not corpus
+    )
+    if "src_a" not in agg.columns:  # empty-Dataset schema loss guard
+        agg = pd.DataFrame(
+            {
+                "src_a": pd.Series([], dtype=str),
+                "src_b": pd.Series([], dtype=str),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+    sizes = agg[agg["src_b"] == ""].set_index("src_a")["cnt"]
+    inter = {
+        (r.src_a, r.src_b): int(r.cnt)
+        for r in agg[agg["src_b"] != ""].itertuples()
+    }
+    from itertools import combinations
+
+    rows = []
+    for a, b in combinations(sorted(sizes.index), 2):
+        na, nb = int(sizes[a]), int(sizes[b])
+        c = inter.get((a, b), 0)
+        union = na + nb - c
+        # exact ints + one division: bit-identical to the SQL twin
+        rows.append((a, b, na, nb, c, c / union if union else float("nan")))
+    return pd.DataFrame(
+        rows, columns=["src_a", "src_b", "n_a", "n_b", "n_common", "jaccard"]
+    ).astype({"n_a": "int64", "n_b": "int64", "n_common": "int64"})
