@@ -262,6 +262,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         media,
         relational,
         sampling,
+        similarity,
         spanops,
         text,
     )
@@ -343,6 +344,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # cross-source n-gram overlap matrix (dump-vs-dump
         # contamination report) — exact, full SQL twin
         "source_overlap": dedup.source_overlap,
+        # hard-negative mining (ANCE/DPR): top-k most-similar
+        # different-label vectors; knn_graph's ulp-wash oracle contract
+        "hard_negatives": similarity.hard_negatives,
     }
 
 
@@ -1004,6 +1008,21 @@ _RELATIONAL_ORACLES = {
                 SELECT vec_id, neighbor_id,
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+                FROM sims
+            ) WHERE rank <= 5
+        """,
+        "hard_negatives": """
+            -- knn_graph restricted to different-label candidates —
+            -- same round(sim, 9) ulp-washing contract
+            WITH sims AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS sim
+                FROM embeddings a JOIN embeddings b ON a.label <> b.label
+            )
+            SELECT vec_id, rank, neg_id FROM (
+                SELECT vec_id, neg_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim, 9) DESC, neg_id) AS rank
                 FROM sims
             ) WHERE rank <= 5
         """,

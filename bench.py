@@ -186,6 +186,7 @@ def run_bench() -> dict:
     timeq("dsir_select", dsir.dsir_select, consume="count")
     timeq("bigram_fluency", curation.bigram_fluency, consume="count")
     timeq("source_overlap", dedup.source_overlap, consume="count")
+    timeq("hard_negatives", similarity.hard_negatives, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

@@ -528,3 +528,67 @@ def knn_graph(sf_dir: str, k: int = 5):
         )
 
     return ds.map_batches(batch_topk, batch_format="pandas")
+
+
+def hard_negatives(sf_dir: str, k: int = 5):
+    """Hard-negative mining for retrieval / contrastive training
+    (ANCE, Xiong et al. 2021; DPR, Karpukhin et al. 2020): for EVERY
+    vector, the top-``k`` most cosine-similar vectors with a DIFFERENT
+    label — the near-miss impostors that make the strongest training
+    negatives. Output: (vec_id, rank, neg_id).
+
+    Same scale shape as ``knn_graph`` (the corpus matrix + labels
+    broadcast once via ``ray.put``, one (batch × corpus) matmul per
+    batch, vectorized per-row top-k); the label mask also removes
+    self. At 10⁹ vectors mine from ``ann_topk_ivf``'s candidate cells
+    instead — this exact path is the anchor the ANN variant is judged
+    against, bounded by corpus-matrix memory like ``knn_graph``.
+
+    Rank order is (cosine DESC, neg_id ASC); the SQL twin ranks on
+    ``round(sim, 9)`` — the ulp-washing contract shared with
+    ``knn_graph`` / ``ann_topk``."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+    all_ids = t["vec_id"].to_numpy()
+    all_labels = t["label"].to_numpy()
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    corpus_ref = ray.put(
+        (all_ids.astype(np.int64), all_labels.astype(np.int64), mat)
+    )
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+
+    def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids_all, labels_all, corpus = ray.get(corpus_ref)
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sims = vecs @ corpus.T  # (batch, N)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        labels = df["label"].to_numpy(dtype=np.int64)
+        # negatives only: same-label candidates (including self) masked
+        sims[labels[:, None] == labels_all[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), part.shape[1])
+        cand_s = sims[rows, part.ravel()]
+        cand_i = ids_all[part.ravel()]
+        order = np.lexsort((cand_i, -cand_s, rows))
+        rows_o, cand_i_o, cand_s_o = rows[order], cand_i[order], cand_s[order]
+        # a label owning > N-k vectors leaves < k negatives: drop the
+        # -inf fillers and rank the survivors 1..m per row
+        finite = np.isfinite(cand_s_o)
+        rows_f, negs_f = rows_o[finite], cand_i_o[finite]
+        first = np.searchsorted(rows_f, np.arange(len(ids)), side="left")
+        rank = np.arange(len(rows_f), dtype=np.int64) - first[rows_f] + 1
+        return pd.DataFrame(
+            {"vec_id": ids[rows_f], "rank": rank, "neg_id": negs_f}
+        )
+
+    return ds.map_batches(batch_topk, batch_format="pandas")

@@ -225,3 +225,42 @@ def test_knn_graph_planted_duplicate_is_rank1(ray_session, tmp_path):
     assert got.groupby("vec_id").size().eq(4).all()
     r1 = got[got["rank"] == 1].set_index("vec_id")["neighbor_id"]
     assert r1[3] == 31 and r1[31] == 3
+
+
+def test_hard_negatives_skips_same_label(ray_session, tmp_path):
+    """The nearest overall vector is a same-label copy — it must be
+    skipped; the mined negative is the nearest DIFFERENT-label vector.
+    A label owning all but two vectors yields < k negatives with dense
+    ranks 1..m (the fewer-than-k path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.similarity import hard_negatives
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    labels = np.zeros(30, dtype=np.int32)
+    labels[28] = labels[29] = 1
+    vecs[1] = vecs[0]            # same-label exact copy of 0 → never a negative
+    vecs[28] = vecs[0] * 1.01    # different-label near-copy → rank-1 negative
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    got = hard_negatives(str(tmp_path), k=5).to_pandas()
+    by = got.set_index(["vec_id", "rank"])["neg_id"]
+    assert by[(0, 1)] == 28  # cosine-identical impostor wins
+    assert 1 not in set(got[got["vec_id"] == 0]["neg_id"])  # same-label copy skipped
+    # label-0 queries have 28 negatives? no — only vectors 28,29 differ:
+    g0 = got[got["vec_id"] == 2]
+    assert list(g0["rank"]) == [1, 2] and set(g0["neg_id"]) == {28, 29}
+    # label-1 queries see all 28 label-0 vectors → full k rows
+    assert len(got[got["vec_id"] == 28]) == 5
