@@ -169,6 +169,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": sampling.epoch_shuffle,
         "token_familiarity": curation.token_familiarity,
         "knn_graph": similarity.knn_graph,
+        # r4 NINTH rotation (continued session): the four new ops built
+        # this wave get driver rows; sessionize / ann_topk_lsh /
+        # dedup_simhash / media_frame_sample (all driver-green for 3+
+        # rounds, each family still registry-represented) move to
+        # rotated_out_queries() and keep their pytest oracle gate
+        "bigram_fluency": curation.bigram_fluency,
+        "source_overlap": dedup.source_overlap,
+        "hard_negatives": similarity.hard_negatives,
+        "tfidf_terms": text.tfidf_terms,
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
         # r4 seventh swap: incremental dedup (new-crawl increment vs an
@@ -192,7 +201,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / streaming-shaped
         "events_hopping": events.events_hopping,
         "value_percentiles": events.value_percentiles,
-        "sessionize": events.sessionize,
         "asof_last_order": events.asof_last_order,
         "json_props_stats": events.json_props_stats,
         # text analysis (doc_stats fuses the former lang_id /
@@ -206,16 +214,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "training_prep": prep.training_prep,
         # similarity / embeddings
         "ann_topk": similarity.ann_topk,
-        "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
         # multimodal plumbing (stubbed decode; resize/frame-sample chain)
-        "media_frame_sample": media.media_frame_sample,
         # span surgery (Adobe sample-family analogues, SURVEY.md §2.3;
         # SQL-verified via corpus-regen oracles + test_spanops kernels)
         "span_split": spanops.split_chunks,
@@ -338,15 +343,12 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ composition (FAISS's production index shape) —
         # rows-only like its two pinned constituents
         "ann_topk_ivfpq": _ann_topk_ivfpq,
-        # Stupid Backoff bigram-LM fluency (Brants et al. 2007) —
-        # integer-quantized terms, full SQL twin
-        "bigram_fluency": curation.bigram_fluency,
-        # cross-source n-gram overlap matrix (dump-vs-dump
-        # contamination report) — exact, full SQL twin
-        "source_overlap": dedup.source_overlap,
-        # hard-negative mining (ANCE/DPR): top-k most-similar
-        # different-label vectors; knn_graph's ulp-wash oracle contract
-        "hard_negatives": similarity.hard_negatives,
+        # r4 ninth rotation: long-green rows that made room for
+        # bigram_fluency / source_overlap / hard_negatives / tfidf_terms
+        "sessionize": events.sessionize,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "media_frame_sample": media.media_frame_sample,
     }
 
 

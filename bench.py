@@ -187,6 +187,7 @@ def run_bench() -> dict:
     timeq("bigram_fluency", curation.bigram_fluency, consume="count")
     timeq("source_overlap", dedup.source_overlap, consume="count")
     timeq("hard_negatives", similarity.hard_negatives, consume="count")
+    timeq("tfidf_terms", text.tfidf_terms, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

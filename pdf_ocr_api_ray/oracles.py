@@ -1037,6 +1037,36 @@ def source_overlap_sql(n: int = 3) -> str:
           ON i.src_a = sa.source AND i.src_b = sb.source"""
 
 
+def tfidf_terms_sql(k: int = 5) -> str:
+    """tf-idf twin: same quantized integer score (tf·(2(N−df)+1)·1000
+    // (2df+1)) and (score_q DESC, term ASC) ranking — every output
+    column is an integer or string, so the driver hash is exact."""
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS w
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, w
+        ), df AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+        ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+                   tf.tf * (2 * ((SELECT n FROM n) - df.df) + 1) * 1000
+                     // (2 * df.df + 1) AS score_q
+            FROM tf JOIN df USING (w)
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score_q
+        FROM (
+            SELECT doc_id, term, tf, df, score_q,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score_q DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= {k}"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -1085,6 +1115,8 @@ def corpus_oracles() -> dict[str, str]:
         "bigram_fluency": bigram_fluency_sql(),
         # continued-r4 cross-source n-gram overlap matrix
         "source_overlap": source_overlap_sql(),
+        # continued-r4 per-document tf-idf keyword extraction
+        "tfidf_terms": tfidf_terms_sql(),
         # late-r4 persisted-index near-dup: the minhash oracle's exact
         # cross (base x increment) restriction
         "neardup_index": f"""SELECT * FROM ({dedup_minhash_lsh_sql()})

@@ -840,3 +840,113 @@ def quality_percentile_by_lang(sf_dir: str):
         )
 
     return ds.map_batches(transform, batch_format="pandas")
+
+
+def tfidf_terms(sf_dir: str, k: int = 5, num_buckets: int = 256):
+    """Per-document characteristic-term extraction: the top-``k`` terms
+    of each document by tf-idf — keyword profiling for search indexing
+    and topic-drift monitoring. The idf is the engine's LOG-FREE
+    monotone form (the ``bm25_rank`` precedent): idf-weighting uses the
+    exact rational ``(N − df + ½)/(df + ½)`` quantized to one int64 per
+    term, ``score_q = tf · (2(N − df) + 1) · 1000 // (2·df + 1)`` —
+    every column is an integer, so the SQL twin is hash-exact (the
+    score IS the quantized value by definition; libm never runs).
+    Int64 headroom: ``tf · (2N+1) · 1000`` needs tf·N < 9·10¹⁴ — past
+    that (a 10¹²-doc corpus) drop the ·1000 refinement or widen to the
+    HUGEINT path; documented, not silent.
+
+    Fully distributed — the df map never touches the driver (the
+    ``ngram_jaccard`` df-broadcast's documented extreme-vocabulary
+    residual is avoided outright, at the price of a second exchange):
+
+    1. one scan emits exact per-doc term frequencies (factorize +
+       one ``np.unique`` over packed (row, code) keys — no Python
+       loops) bucketed by term-md5;
+    2. groupby(term-bucket): df is the term's row count (each doc
+       contributes each term once), scores attach in-bucket, and each
+       doc's rows CUT to its per-bucket top-``k`` (a guaranteed
+       superset of the global top-``k``);
+    3. groupby(doc-bucket): the ≤ k·num_buckets surviving rows per doc
+       co-locate once; exact (score_q DESC, term ASC) head-``k`` with
+       dense ranks.
+
+    N counts ALL documents (token-less docs produce no term rows but
+    still shape the idf, like the SQL twin's ``count(*)``)."""
+    import numpy as np
+
+    from .dedup import _stable64
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.findall(_TOKEN_RE)
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        if counts.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype=str),
+                    "tf": pd.Series([], dtype="int64"),
+                    "tb": pd.Series([], dtype="int32"),
+                }
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
+        row_idx = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        codes, uniq = pd.factorize(pd.Series(flat, dtype=object))
+        packed = row_idx * len(uniq) + codes
+        u, tf = np.unique(packed, return_counts=True)
+        r, c = u // len(uniq), u % len(uniq)
+        terms = uniq.to_numpy(dtype=object) if hasattr(uniq, "to_numpy") else np.asarray(uniq, dtype=object)
+        hb = np.fromiter(
+            (_stable64(t) % num_buckets for t in terms),
+            dtype=np.int64,
+            count=len(terms),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[r],
+                "term": terms[c],
+                "tf": tf.astype(np.int64),
+                "tb": hb[c].astype(np.int32),
+            }
+        )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # a doc appears in exactly one input batch, so (doc, term) rows
+        # are globally unique: df(term) == the term's row count here
+        dfreq = g.groupby("term")["term"].transform("size").to_numpy(np.int64)
+        tf = g["tf"].to_numpy(np.int64)
+        score_q = tf * (2 * (n_docs - dfreq) + 1) * 1000 // (2 * dfreq + 1)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "term": g["term"].to_numpy(object),
+                "tf": tf,
+                "df": dfreq,
+                "score_q": score_q,
+            }
+        )
+        # per-bucket per-doc top-k: superset of the global top-k
+        out = out.sort_values(
+            ["doc_id", "score_q", "term"], ascending=[True, False, True]
+        )
+        out = out.groupby("doc_id", sort=False).head(k)
+        out["db"] = (out["doc_id"].to_numpy(np.int64) % num_buckets).astype(np.int32)
+        return out
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score_q", "term"], ascending=[True, False, True]
+        )
+        g = g.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return g[["doc_id", "rank", "term", "tf", "df", "score_q"]]
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("db")
+        .map_groups(finalize, batch_format="pandas")
+    )
