@@ -343,6 +343,8 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ composition (FAISS's production index shape) —
         # rows-only like its two pinned constituents
         "ann_topk_ivfpq": _ann_topk_ivfpq,
+        # exact DAU/WAU via one user-bucketed distinct exchange
+        "active_users": events.active_users,
         # r4 ninth rotation: long-green rows that made room for
         # bigram_fluency / source_overlap / hard_negatives / tfidf_terms
         "sessionize": events.sessionize,
@@ -506,6 +508,23 @@ _RELATIONAL_ORACLES = {
                    count(*) AS n_events,
                    round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "active_users": """
+            -- exact DAU + trailing-7-day WAU; anchors with no same-day
+            -- events drop at the inner join (engine: at the pivot)
+            WITH du AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            ), dau AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM du GROUP BY day
+            ), wau AS (
+                SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+                FROM (SELECT DISTINCT day FROM du) d
+                JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+                GROUP BY d.day
+            )
+            SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+            FROM dau JOIN wau ON dau.day = wau.day
         """,
         "value_percentiles": """
             -- quantized micro-units + linear interpolation: identical

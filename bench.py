@@ -188,6 +188,7 @@ def run_bench() -> dict:
     timeq("source_overlap", dedup.source_overlap, consume="count")
     timeq("hard_negatives", similarity.hard_negatives, consume="count")
     timeq("tfidf_terms", text.tfidf_terms, consume="count")
+    timeq("active_users", events.active_users, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

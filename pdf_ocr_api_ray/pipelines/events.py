@@ -730,3 +730,89 @@ def range_join_events(sf_dir: str, window_s: int = 3600):
         .groupby("ub")
         .map_groups(window_count, batch_format="pandas")
     )
+
+
+def active_users(sf_dir: str, window_days: int = 7, num_buckets: int = 256):
+    """Exact daily / trailing-window active users (DAU + WAU) — the
+    canonical engagement report whose hard part is COUNT DISTINCT per
+    overlapping window at scale. Output per day with ≥1 event:
+    ``(day, dau, wau)`` where ``wau`` counts users active in the
+    ``window_days`` days ending that day.
+
+    ONE keyed exchange does all the distinct work: per-batch distinct
+    ``(day, user)`` rows bucket BY USER, so inside a bucket
+    ``drop_duplicates`` is globally exact for both the day grain and
+    the window grain (two users never share a bucket's rows, so
+    cross-bucket double-counting is structurally impossible). Each
+    bucket emits per-day partial DAU counts and — after exploding each
+    (day, user) to the ``window_days`` anchors it serves and
+    re-deduplicating per (anchor, user) — per-anchor partial WAU
+    counts. The final groupby and the driver pivot are
+    calendar-bounded (≤ 2 × (#days + window) rows), never user- or
+    event-scale. Anchors with no same-day events drop at the pivot,
+    matching the SQL twin's inner join."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def day_user(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "day": df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+        out["ub"] = (out["user_id"] % num_buckets).astype(np.int32)
+        return out
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        du = g.drop_duplicates(["day", "user_id"])
+        dau = du["day"].value_counts()
+        days = du["day"].to_numpy(np.int64)
+        users = du["user_id"].to_numpy(np.int64)
+        off = np.arange(window_days, dtype=np.int64)
+        wu = pd.DataFrame(
+            {
+                "w": (days[:, None] + off[None, :]).ravel(),
+                "user_id": np.repeat(users, window_days),
+            }
+        ).drop_duplicates()
+        wau = wu["w"].value_counts()
+        return pd.DataFrame(
+            {
+                "day": np.concatenate(
+                    [dau.index.to_numpy(np.int64), wau.index.to_numpy(np.int64)]
+                ),
+                "kind": ["d"] * len(dau) + ["w"] * len(wau),
+                "cnt": np.concatenate([dau.to_numpy(), wau.to_numpy()]).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(day_user, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby(["day", "kind"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # calendar-bounded: ≤ 2 × (#days + window) rows
+    )
+    if "day" not in agg.columns:  # empty-Dataset schema loss guard
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype=str),
+                "dau": pd.Series([], dtype="int64"),
+                "wau": pd.Series([], dtype="int64"),
+            }
+        )
+    dau = agg[agg["kind"] == "d"].set_index("day")["cnt"].sort_index()
+    wau = agg[agg["kind"] == "w"].set_index("day")["cnt"]
+    days = dau.index.to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "day": days.astype("datetime64[D]").astype(str),
+            "dau": dau.to_numpy(np.int64),
+            "wau": wau.reindex(dau.index).to_numpy(np.int64),
+        }
+    )

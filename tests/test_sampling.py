@@ -219,3 +219,42 @@ def test_split_corpus_weights(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="weights"):
         split_corpus(str(tmp_path), weights=(0, 0, 0))
+
+
+def test_active_users_planted_windows(ray_session, tmp_path):
+    """DAU/WAU semantics on a hand-computed calendar: same-day repeats
+    collapse, the trailing window unions distinct users, and anchors
+    with no same-day events are absent."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.events import active_users
+
+    base = np.datetime64("2024-01-01")
+    rows = [  # (day offset, user)
+        (0, 1), (0, 2), (0, 1),  # repeat collapses
+        (1, 2),
+        (2, 3),
+        (8, 1),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [(base + d).astype("datetime64[us]").item() for d, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for _, u in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = active_users(str(tmp_path)).set_index("day")
+    assert list(got.index) == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-09"]
+    assert list(got["dau"]) == [2, 1, 1, 1]
+    # WAU(1-1)={1,2}; WAU(1-2)=d27..1-2⊇{1,2}; WAU(1-3)={1,2,3};
+    # WAU(1-9)=1-3..1-9={3,1}
+    assert list(got["wau"]) == [2, 2, 3, 2]
