@@ -345,6 +345,11 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivfpq": _ann_topk_ivfpq,
         # exact DAU/WAU via one user-bucketed distinct exchange
         "active_users": events.active_users,
+        # T5 span-corruption denoising pair prep — md5-keyed draws,
+        # one stateless scan, full SQL twin
+        "span_corruption": _span_corruption,
+        # burst-collapse event debounce (lag-rule retention filter)
+        "debounce_events": events.debounce_events,
         # r4 ninth rotation: long-green rows that made room for
         # bigram_fluency / source_overlap / hard_negatives / tfidf_terms
         "sessionize": events.sessionize,
@@ -352,6 +357,12 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "media_frame_sample": media.media_frame_sample,
     }
+
+
+def _span_corruption(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.prep import span_corruption
+
+    return span_corruption(sf_dir)
 
 
 def _ann_topk_ivfpq(sf_dir: str):
@@ -508,6 +519,18 @@ _RELATIONAL_ORACLES = {
                    count(*) AS n_events,
                    round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "debounce_events": """
+            -- keep an event iff the previous same-(user,type) event is
+            -- more than 300 s old (ties ordered by ts, event_id)
+            SELECT event_id, user_id, event_type, ts FROM (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+            WHERE prev_ts IS NULL
+               OR date_diff('microsecond', prev_ts, ts) > 300 * 1000000
         """,
         "active_users": """
             -- exact DAU + trailing-7-day WAU; anchors with no same-day

@@ -108,6 +108,7 @@ def run_bench() -> dict:
         dedup,
         events,
         htmlx,
+        prep,
         relational,
         sampling,
         semdedup,
@@ -189,6 +190,8 @@ def run_bench() -> dict:
     timeq("hard_negatives", similarity.hard_negatives, consume="count")
     timeq("tfidf_terms", text.tfidf_terms, consume="count")
     timeq("active_users", events.active_users, consume="count")
+    timeq("span_corruption", prep.span_corruption, consume="count")
+    timeq("debounce_events", events.debounce_events, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

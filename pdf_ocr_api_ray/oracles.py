@@ -500,6 +500,14 @@ def _md5_le64(expr: str) -> str:
     return f"CAST(('0x'||{bytes_rev}) AS UBIGINT)"
 
 
+def _md5_le64_hi(expr: str) -> str:
+    """Little-endian 64-bit int of md5(expr) bytes 8..15 — the second
+    independent draw (prep.span_corruption's length field)."""
+    m = f"md5({expr})"
+    bytes_rev = "||".join(f"substr({m},{31 - 2 * k},2)" for k in range(8))
+    return f"CAST(('0x'||{bytes_rev}) AS UBIGINT)"
+
+
 def dedup_simhash_sql(max_hamming: int = 3) -> str:
     """Recompute the 64-bit count-weighted SimHash fingerprints from
     md5 token hashes bit-for-bit, then all-pairs hamming ≤ k — the
@@ -1067,6 +1075,79 @@ def tfidf_terms_sql(k: int = 5) -> str:
         ) WHERE rank <= {k}"""
 
 
+def span_corruption_sql() -> str:
+    """Span-corruption twin: replays the identical md5 draws (low-64 →
+    selection, high-64 → length), rebuilds coverage by a position-range
+    join (non-overlap is structural: MAX_LEN < STRIDE), and reassembles
+    both text sides with ordered string_agg — sentinels sort before the
+    covered token sharing their position via the kind column."""
+    from .pipelines.prep import CORRUPT_MAX_LEN, CORRUPT_PCT, CORRUPT_STRIDE
+
+    draw = _md5_le64("'corrupt|' || CAST(t.doc_id AS VARCHAR) || '|' || CAST(t.pos AS VARCHAR)")
+    ln = _md5_le64_hi("'corrupt|' || CAST(t.doc_id AS VARCHAR) || '|' || CAST(t.pos AS VARCHAR)")
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id, i AS pos, w[i+1] AS tok
+            FROM (SELECT doc_id,
+                         regexp_extract_all(coalesce(text, ''), '\S+') AS w,
+                         unnest(range(len(w))) AS i
+                  FROM documents)
+        ), nt AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_tok
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, pos AS a, pos + ln AS e,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+            FROM (SELECT t.doc_id, t.pos,
+                         {draw} % 100 AS draw,
+                         {ln} % {CORRUPT_MAX_LEN} + 1 AS ln
+                  FROM tok t WHERE t.pos % {CORRUPT_STRIDE} = 0)
+            WHERE draw < {CORRUPT_PCT}
+        ), cov AS (
+            SELECT t.doc_id, t.pos, s.k
+            FROM tok t JOIN spans s
+              ON t.doc_id = s.doc_id AND t.pos >= s.a AND t.pos < s.e
+        ), inp AS (
+            SELECT doc_id, a AS pos, 0 AS kind,
+                   '<extra_id_' || k || '>' AS piece FROM spans
+            UNION ALL
+            SELECT t.doc_id, t.pos, 1, t.tok
+            FROM tok t LEFT JOIN cov c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+        ), tgt AS (
+            SELECT doc_id, a AS pos, 0 AS kind,
+                   '<extra_id_' || k || '>' AS piece FROM spans
+            UNION ALL
+            SELECT c.doc_id, c.pos, 1, t.tok
+            FROM cov c JOIN tok t
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+        ), agg_i AS (
+            SELECT doc_id, string_agg(piece, ' ' ORDER BY pos, kind) AS input_text
+            FROM inp GROUP BY doc_id
+        ), agg_t AS (
+            SELECT doc_id, string_agg(piece, ' ' ORDER BY pos, kind) AS target_text
+            FROM tgt GROUP BY doc_id
+        ), st AS (
+            SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+        ), cv AS (
+            SELECT doc_id, count(*) AS n_masked FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(nt.n_tok AS BIGINT) AS n_tokens,
+               CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(cv.n_masked, 0) AS BIGINT) AS n_masked,
+               coalesce(agg_i.input_text, '') AS input_text,
+               coalesce(agg_t.target_text, '') AS target_text
+        FROM documents d
+        JOIN nt USING (doc_id)
+        LEFT JOIN st USING (doc_id)
+        LEFT JOIN cv USING (doc_id)
+        LEFT JOIN agg_i USING (doc_id)
+        LEFT JOIN agg_t USING (doc_id)"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -1117,6 +1198,8 @@ def corpus_oracles() -> dict[str, str]:
         "source_overlap": source_overlap_sql(),
         # continued-r4 per-document tf-idf keyword extraction
         "tfidf_terms": tfidf_terms_sql(),
+        # continued-r4 T5 span-corruption sample prep
+        "span_corruption": span_corruption_sql(),
         # late-r4 persisted-index near-dup: the minhash oracle's exact
         # cross (base x increment) restriction
         "neardup_index": f"""SELECT * FROM ({dedup_minhash_lsh_sql()})

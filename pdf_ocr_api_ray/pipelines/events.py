@@ -816,3 +816,44 @@ def active_users(sf_dir: str, window_days: int = 7, num_buckets: int = 256):
             "wau": wau.reindex(dau.index).to_numpy(np.int64),
         }
     )
+
+
+def debounce_events(sf_dir: str, gap_s: int = 300):
+    """Burst-collapse retention filter — the client-retry / double-fire
+    cleaner analytics pipelines run before counting anything: an event
+    is DROPPED when the immediately preceding event of the same
+    ``(user_id, event_type)`` stream (ordered by ``ts, event_id``)
+    arrived within ``gap_s`` seconds. An unbroken chain of sub-gap
+    arrivals therefore keeps only its head (consecutive-gap semantics —
+    the same rule ``lag()`` expresses in SQL, and the deterministic
+    variant of every client-side debouncer).
+
+    Same shape as ``sessionize``: ONE user-hash exchange, per-bucket
+    vectorized sort + per-stream ``diff`` — no per-user Python, no
+    driver state. Output: the kept rows ``(event_id, user_id,
+    event_type, ts)``."""
+    ds = read_parquet_clean(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = (df["user_id"].to_numpy() % NUM_KEY_BUCKETS).astype(np.int32)
+        return df
+
+    def debounce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "event_type", "ts", "event_id"])
+        delta = (
+            g.groupby(["user_id", "event_type"], sort=False)["ts"]
+            .diff()
+            .dt.total_seconds()
+        )
+        keep = ~(delta <= float(gap_s))  # NaN (stream head) keeps
+        out = g.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(debounce_bucket, batch_format="pandas")
+    )

@@ -85,3 +85,130 @@ def training_prep(sf_dir: str):
         Count(alias_name="n_docs"),
         Sum("n_tokens", alias_name="total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption sample prep
+
+CORRUPT_STRIDE = 8  # anchors at pos % 8 == 0 — spans never overlap
+CORRUPT_PCT = 40  # anchor selected when md5 draw % 100 < 40
+CORRUPT_MAX_LEN = 3  # span length 1..3 (< stride by construction)
+
+
+def span_corruption(sf_dir: str):
+    """Denoising-objective sample prep (T5 span corruption, Raffel et
+    al. 2020): deterministically mask token spans and emit the
+    (input_text, target_text) pair per document — masked spans collapse
+    to ordinal ``<extra_id_k>`` sentinels in the input, and the target
+    is the sentinel-delimited sequence of masked tokens.
+
+    Randomness is md5-keyed on ``(doc_id, position)`` like every draw
+    in this engine (resume-stable, block-layout independent): span
+    anchors sit at ``pos % CORRUPT_STRIDE == 0``; an anchor is selected
+    when its low-64 draw ``% 100 < CORRUPT_PCT`` and masks
+    ``1 + (high-64 draw % CORRUPT_MAX_LEN)`` tokens. MAX_LEN < STRIDE
+    makes spans provably non-overlapping, so the whole op is ONE
+    stateless vectorized scan — coverage is a +1/−1 diff-cumsum (the
+    ``dedup_substrings`` kernel), sentinel ordinals a per-row cumsum —
+    and the SQL twin replays the identical hex arithmetic.
+    """
+    import hashlib
+
+    import numpy as np
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    sent = np.array(
+        [f"<extra_id_{k}>" for k in range(4096)], dtype=object
+    )  # 4096 spans needs a 32k-token doc at PCT=100 — plenty
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.findall(_TOKEN_RE)
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        n_rows = len(df)
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "n_tokens": counts,
+                    "n_spans": np.zeros(n_rows, dtype=np.int64),
+                    "n_masked": np.zeros(n_rows, dtype=np.int64),
+                    "input_text": [""] * n_rows,
+                    "target_text": [""] * n_rows,
+                }
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
+        row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        row_end = np.repeat(starts + counts, counts)
+
+        a_idx = np.flatnonzero(pos % CORRUPT_STRIDE == 0)
+        sel = np.zeros(len(a_idx), dtype=bool)
+        ln = np.zeros(len(a_idx), dtype=np.int64)
+        for j, i in enumerate(a_idx):
+            h = hashlib.md5(
+                f"corrupt|{doc_ids[row_idx[i]]}|{pos[i]}".encode()
+            ).digest()
+            sel[j] = int.from_bytes(h[:8], "little") % 100 < CORRUPT_PCT
+            ln[j] = int.from_bytes(h[8:16], "little") % CORRUPT_MAX_LEN + 1
+        s_flat = a_idx[sel]
+        s_len = ln[sel]
+        e_flat = np.minimum(s_flat + s_len, row_end[s_flat])
+
+        diff = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(diff, s_flat, 1)
+        np.add.at(diff, e_flat, -1)
+        cover = np.cumsum(diff[:-1]) > 0
+        ss = np.zeros(total, dtype=bool)
+        ss[s_flat] = True
+
+        c = np.cumsum(ss.astype(np.int64))
+        row_prefix = np.repeat(c[starts] - ss[starts].astype(np.int64), counts)
+        k_ord = c - 1 - row_prefix  # sentinel ordinal, valid at span starts
+
+        # input: unmasked tokens, each span collapsed to its sentinel
+        keep = ~cover | ss
+        in_tok = np.where(ss, sent[np.minimum(k_ord, len(sent) - 1)], flat)
+        input_text = (
+            pd.Series(in_tok[keep], dtype=object)
+            .groupby(row_idx[keep])
+            .agg(" ".join)
+            .reindex(range(n_rows), fill_value="")
+            .to_numpy(dtype=object)
+        )
+        # target: <extra_id_k> then the span's masked tokens, in order
+        idx_c = np.flatnonzero(cover)
+        rep = 1 + ss[idx_c].astype(np.int64)
+        expanded = np.repeat(idx_c, rep)
+        offs = np.concatenate([[0], np.cumsum(rep)[:-1]])
+        sent_mask = np.zeros(len(expanded), dtype=bool)
+        sent_mask[offs[rep == 2]] = True
+        tgt_tok = np.where(
+            sent_mask, sent[np.minimum(k_ord[expanded], len(sent) - 1)], flat[expanded]
+        )
+        target_text = (
+            pd.Series(tgt_tok, dtype=object)
+            .groupby(row_idx[expanded])
+            .agg(" ".join)
+            .reindex(range(n_rows), fill_value="")
+            .to_numpy(dtype=object)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_tokens": counts,
+                "n_spans": np.bincount(
+                    row_idx[s_flat], minlength=n_rows
+                ).astype(np.int64),
+                "n_masked": np.bincount(
+                    row_idx, weights=cover.astype(np.float64), minlength=n_rows
+                ).astype(np.int64),
+                "input_text": input_text,
+                "target_text": target_text,
+            }
+        )
+
+    return ds.map_batches(corrupt, batch_format="pandas")

@@ -265,3 +265,41 @@ def test_freq_sketch_cms_bounds(ray_session, tmp_path):
         assert e <= n + bound, (tok, e, n)       # classic CMS bound
     # heavy hitters are far above the noise floor → usable rankings
     assert est[0] > est[1] > est[2]
+
+
+def test_debounce_events_planted_bursts(ray_session, tmp_path):
+    """Consecutive-gap semantics: an unbroken sub-gap chain keeps only
+    its head (even when the chain outlasts the gap), the exact-gap
+    boundary drops, and distinct (user, type) streams never interact."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.events import debounce_events
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [  # (event_id, user, type, offset_s)
+        (1, 1, "click", 0),
+        (2, 1, "click", 100),   # within 300 of #1 → drop
+        (3, 1, "click", 200),   # within 300 of #2 → drop (chain)
+        (4, 1, "click", 500),   # 300 after #3 (exact gap) → drop
+        (5, 1, "click", 900),   # 400 after #4 → keep
+        (6, 1, "view", 50),     # other type stream → keep
+        (7, 2, "click", 10),    # other user → keep
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [(base + pd.Timedelta(seconds=r[3])).to_pydatetime() for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = debounce_events(str(tmp_path)).to_pandas()
+    assert sorted(got["event_id"]) == [1, 5, 6, 7]
