@@ -178,6 +178,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": dedup.source_overlap,
         "hard_negatives": similarity.hard_negatives,
         "tfidf_terms": text.tfidf_terms,
+        # r4 TENTH rotation: DAU/WAU, T5 span corruption, and event
+        # debounce get driver rows; ocr_postclean / span_combine /
+        # running_total (long-green, families still represented) move
+        # to the rotated_out pytest gate
+        "active_users": events.active_users,
+        "span_corruption": _span_corruption,
+        "debounce_events": events.debounce_events,
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
         # r4 seventh swap: incremental dedup (new-crawl increment vs an
@@ -199,7 +206,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # statistic over md5 draws) in for the r1-green running_total
         "sample_fixed_k": sampling.sample_fixed_k,
         # events / streaming-shaped
-        "events_hopping": events.events_hopping,
         "value_percentiles": events.value_percentiles,
         "asof_last_order": events.asof_last_order,
         "json_props_stats": events.json_props_stats,
@@ -209,7 +215,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the query count stays within the driver's 50-row cap)
         "doc_stats": text.doc_stats,
         "fingerprint": text.fingerprint,
-        "ocr_postclean": text.ocr_postclean,
         "document_merge": text.document_merge,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -224,7 +229,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span surgery (Adobe sample-family analogues, SURVEY.md §2.3;
         # SQL-verified via corpus-regen oracles + test_spanops kernels)
         "span_split": spanops.split_chunks,
-        "span_combine": spanops.combine_docs,
         "extract_layout": spanops.extract_layout,
         # r4 SECOND rotation: the five curation operators built this
         # round (all integer/string outputs or bit-exact IEEE floats —
@@ -300,7 +304,6 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # r4 eighth rotation: made room for select_top_quality
         "latest_order_per_customer": relational.latest_order_per_customer,
         "events_daily": events.events_daily,
-        "running_total": events.running_total,
         # driver-ineligible curation surface (see docstring)
         "bm25_rank": curation.bm25_rank,
         "merge_paginated": text.merge_paginated,
@@ -343,13 +346,12 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ composition (FAISS's production index shape) —
         # rows-only like its two pinned constituents
         "ann_topk_ivfpq": _ann_topk_ivfpq,
-        # exact DAU/WAU via one user-bucketed distinct exchange
-        "active_users": events.active_users,
-        # T5 span-corruption denoising pair prep — md5-keyed draws,
-        # one stateless scan, full SQL twin
-        "span_corruption": _span_corruption,
-        # burst-collapse event debounce (lag-rule retention filter)
-        "debounce_events": events.debounce_events,
+        # r4 tenth rotation: made room for active_users /
+        # span_corruption / debounce_events
+        "ocr_postclean": text.ocr_postclean,
+        "span_combine": spanops.combine_docs,
+        "events_hopping": events.events_hopping,
+        "running_total": events.running_total,
         # r4 ninth rotation: long-green rows that made room for
         # bigram_fluency / source_overlap / hard_negatives / tfidf_terms
         "sessionize": events.sessionize,
