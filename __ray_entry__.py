@@ -346,6 +346,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ composition (FAISS's production index shape) —
         # rows-only like its two pinned constituents
         "ann_topk_ivfpq": _ann_topk_ivfpq,
+        # actor-pool model scoring (deterministic classifier stand-in;
+        # weights once per actor) — rows-only like the sketch family
+        "neural_quality_score": _neural_quality_score,
         # r4 tenth rotation: made room for active_users /
         # span_corruption / debounce_events
         "ocr_postclean": text.ocr_postclean,
@@ -359,6 +362,12 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "media_frame_sample": media.media_frame_sample,
     }
+
+
+def _neural_quality_score(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.model import neural_quality_score
+
+    return neural_quality_score(sf_dir)
 
 
 def _span_corruption(sf_dir: str):

@@ -115,7 +115,7 @@ def run_bench() -> dict:
         similarity,
         text,
     )
-    from pdf_ocr_api_ray.pipelines import bpe, dsir
+    from pdf_ocr_api_ray.pipelines import bpe, dsir, model
     from pdf_ocr_api_ray.pipelines import pq as pq_mod
     from pdf_ocr_api_ray.pipelines.extraction import build_extraction
 
@@ -192,6 +192,7 @@ def run_bench() -> dict:
     timeq("active_users", events.active_users, consume="count")
     timeq("span_corruption", prep.span_corruption, consume="count")
     timeq("debounce_events", events.debounce_events, consume="count")
+    timeq("neural_quality_score", model.neural_quality_score, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

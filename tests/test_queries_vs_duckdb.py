@@ -121,6 +121,9 @@ ROWS_ONLY = {
     "dsir_select",
     # IVF-PQ composition of two pinned pieces
     "ann_topk_ivfpq",
+    # actor-pool model scoring: float GEMM head — reference-pinned
+    # (tests/test_model_score.py, shared straight-line kernel)
+    "neural_quality_score",
 }
 
 
