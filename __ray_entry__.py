@@ -349,6 +349,10 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # actor-pool model scoring (deterministic classifier stand-in;
         # weights once per actor) — rows-only like the sketch family
         "neural_quality_score": _neural_quality_score,
+        # PMI collocation mining — quantized rational score, exact twin
+        "collocations": curation.collocations,
+        # integer-rule trailing-window spike detection
+        "anomaly_days": events.anomaly_days,
         # r4 tenth rotation: made room for active_users /
         # span_corruption / debounce_events
         "ocr_postclean": text.ocr_postclean,
@@ -530,6 +534,29 @@ _RELATIONAL_ORACLES = {
                    count(*) AS n_events,
                    round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "anomaly_days": """
+            -- spike: 7·n·1 > 2·prev7 with prev7 > 0, prev7 over the
+            -- trailing 7 CALENDAR days (RANGE window ≡ the engine's
+            -- shifted-merge zero-fill)
+            WITH d AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ), w AS (
+                SELECT event_type, day, n_events,
+                       CAST(coalesce(sum(n_events) OVER (
+                           PARTITION BY event_type ORDER BY day
+                           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                                     AND INTERVAL 1 DAYS PRECEDING
+                       ), 0) AS BIGINT) AS prev7
+                FROM d
+            )
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+                   prev7,
+                   CAST(prev7 > 0 AND 7 * n_events * 1 > 2 * prev7 AS BIGINT)
+                     AS is_spike
+            FROM w
         """,
         "debounce_events": """
             -- keep an event iff the previous same-(user,type) event is

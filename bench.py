@@ -193,6 +193,8 @@ def run_bench() -> dict:
     timeq("span_corruption", prep.span_corruption, consume="count")
     timeq("debounce_events", events.debounce_events, consume="count")
     timeq("neural_quality_score", model.neural_quality_score, consume="count")
+    timeq("collocations", curation.collocations, consume="count")
+    timeq("anomaly_days", events.anomaly_days, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

@@ -1148,6 +1148,48 @@ def span_corruption_sql() -> str:
         LEFT JOIN agg_t USING (doc_id)"""
 
 
+def collocations_sql(k: int = 100, min_count: int = 5) -> str:
+    """PMI-collocation twin: identical quantized rational score
+    (c(ab)·N·10⁶ // (c(a)·c(b))) and (score_q DESC, gram ASC) ranking —
+    all-integer outputs, hash-exact."""
+    from .pipelines.curation import PMI_SCALE
+
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, i AS pos, w[i+1] AS tok
+            FROM (SELECT doc_id,
+                         regexp_extract_all(coalesce(text, ''), '\S+') AS w,
+                         unnest(range(len(w))) AS i
+                  FROM documents)
+        ), uni AS (
+            SELECT tok AS g, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY tok
+        ), n_total AS (
+            SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM uni
+        ), cand AS (
+            SELECT w1, w2, c_ab FROM (
+                SELECT t1.tok AS w1, t2.tok AS w2,
+                       CAST(count(*) AS BIGINT) AS c_ab
+                FROM toks t1 JOIN toks t2
+                  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                GROUP BY 1, 2
+            ) WHERE c_ab >= {min_count}
+        ), scored AS (
+            SELECT w1 || ' ' || w2 AS gram, c_ab, ua.c AS c_a, ub.c AS c_b,
+                   c_ab * (SELECT n FROM n_total) * {PMI_SCALE}
+                     // greatest(ua.c * ub.c, 1) AS score_q
+            FROM cand
+            JOIN uni ua ON ua.g = cand.w1
+            JOIN uni ub ON ub.g = cand.w2
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, gram, c_ab, c_a, c_b, score_q
+        FROM (
+            SELECT gram, c_ab, c_a, c_b, score_q,
+                   row_number() OVER (ORDER BY score_q DESC, gram) AS rank
+            FROM scored
+        ) WHERE rank <= {k}"""
+
+
 def corpus_oracles() -> dict[str, str]:
     """All corpus-derived oracle SQL, keyed by queries() name."""
     return {
@@ -1200,6 +1242,8 @@ def corpus_oracles() -> dict[str, str]:
         "tfidf_terms": tfidf_terms_sql(),
         # continued-r4 T5 span-corruption sample prep
         "span_corruption": span_corruption_sql(),
+        # continued-r4 PMI collocation mining
+        "collocations": collocations_sql(),
         # late-r4 persisted-index near-dup: the minhash oracle's exact
         # cross (base x increment) restriction
         "neardup_index": f"""SELECT * FROM ({dedup_minhash_lsh_sql()})

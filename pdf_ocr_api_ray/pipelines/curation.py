@@ -1032,3 +1032,193 @@ def bigram_fluency(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation extraction
+
+
+PMI_SCALE = 10**6
+
+
+def collocations(sf_dir: str, k: int = 100, min_count: int = 5, num_buckets: int = 256):
+    """Corpus-wide collocation extraction: the top-``k`` bigrams by
+    (quantized, log-free) pointwise mutual information — the classic
+    corpus-linguistics tool for multi-word expressions and the phrase
+    miner phrase-aware tokenizers train on. PMI's log is monotone, so
+    ranking on the exact rational ``c(ab)·N / (c(a)·c(b))`` is ranking
+    on PMI; the engine quantizes it to ONE int64 per candidate —
+    ``score_q = c(ab)·N·10⁶ // (c(a)·c(b))`` — making the SQL twin
+    hash-exact (int64 headroom: ``c(ab)·N·10⁶`` < 2⁶³ holds to ~10¹¹
+    corpus tokens; past that drop the 10⁶ refinement — documented).
+
+    Fully distributed and exact — no vocabulary broadcast, no driver
+    state beyond the final ``k`` rows:
+
+    1. unigram + bigram counts ride ONE scan and ONE vocabulary-sized
+       groupby (the ``bigram_fluency`` fused table: the two gram
+       spaces cannot collide), materialized once (vocab-bounded);
+    2. the token total ``N`` folds from the same blocks;
+    3. candidates (``c(ab) ≥ min_count``) attach ``c(a)`` then
+       ``c(b)`` through two word-bucketed union exchanges (the
+       ``dedup_segments`` co-location idiom — unigram rows and the
+       bigram rows keyed by that word land in the same bucket);
+    4. a distributed partial-top-k fold returns the ``k`` best by
+       ``(score_q DESC, gram ASC)``.
+
+    Output: ``(rank, gram, c_ab, c_a, c_b, score_q)``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        frames = []
+        for n in (1, 2):
+            _, _, grams = _flat_grams(texts, n)
+            counts = pd.Series(grams, dtype=object).value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "g": counts.index.astype(str),
+                        "partial": counts.values.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    grams = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("partial", alias_name="c"))
+        .materialize()  # bounded by the (uni+bi)gram vocabulary
+    )
+
+    def n_fold(t: pa.Table) -> pd.DataFrame:
+        uni_c = t.filter(pc.invert(pc.match_substring(t["g"], " ")))["c"]
+        return pd.DataFrame({"n": [pc.sum(uni_c).as_py() or 0]})
+
+    n_total = int(grams.map_batches(n_fold, batch_format="pyarrow").sum("n") or 0)
+
+    from .dedup import _stable64
+
+    def bucket_of(words: pd.Series) -> np.ndarray:
+        codes, uniq = pd.factorize(words)
+        hb = np.fromiter(
+            (_stable64(w) % num_buckets for w in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return hb[codes].astype(np.int32)
+
+    def stage1_rows(df: pd.DataFrame) -> pd.DataFrame:
+        """Split the fused table: unigram rows keyed by their word,
+        candidate bigram rows keyed by w1."""
+        is_big = df["g"].str.contains(" ", regex=False)
+        uni = df[~is_big]
+        big = df[is_big & (df["c"] >= min_count)]
+        w12 = big["g"].str.split(" ", n=1, expand=True)
+        out = pd.DataFrame(
+            {
+                "key": pd.concat(
+                    [uni["g"], w12[0] if len(big) else pd.Series([], dtype=str)],
+                    ignore_index=True,
+                ),
+                "g": pd.concat(
+                    [pd.Series([""] * len(uni)), big["g"].reset_index(drop=True)],
+                    ignore_index=True,
+                ).astype(str),
+                "other": pd.concat(
+                    [pd.Series([""] * len(uni)), (w12[1] if len(big) else pd.Series([], dtype=str)).reset_index(drop=True)],
+                    ignore_index=True,
+                ).astype(str),
+                "c": pd.concat(
+                    [uni["c"], big["c"].reset_index(drop=True)], ignore_index=True
+                ).astype(np.int64),
+                "c_attached": np.zeros(len(uni) + len(big), dtype=np.int64),
+            }
+        )
+        out["kb"] = bucket_of(out["key"])
+        return out
+
+    def attach(g: pd.DataFrame, last: bool) -> pd.DataFrame:
+        """In-bucket: map word → unigram count, attach to bigram rows
+        keyed by that word; re-key bigrams by their other word (pass 1)
+        or emit scored candidates (pass 2). Unigram rows re-emit
+        unchanged so pass 2's buckets still hold the lookup table."""
+        is_uni = g["g"] == ""
+        lut = dict(
+            zip(g.loc[is_uni, "key"].to_numpy(object), g.loc[is_uni, "c"].to_numpy())
+        )
+        big = g[~is_uni]
+        attached = big["key"].map(lut).fillna(0).astype(np.int64)
+        if not last:
+            out_big = pd.DataFrame(
+                {
+                    "key": big["other"].to_numpy(object),
+                    "g": big["g"].to_numpy(object),
+                    "other": big["key"].to_numpy(object),
+                    "c": big["c"].to_numpy(np.int64),
+                    "c_attached": attached.to_numpy(np.int64),
+                }
+            )
+            out_big["kb"] = bucket_of(out_big["key"])
+            out = pd.concat([g[is_uni], out_big], ignore_index=True)
+            return out[["key", "g", "other", "c", "c_attached", "kb"]]
+        c_ab = big["c"].to_numpy(np.int64)
+        c_a = big["c_attached"].to_numpy(np.int64)  # from pass 1 (w1)
+        c_b = attached.to_numpy(np.int64)  # this pass (w2)
+        denom = np.maximum(c_a * c_b, 1)
+        score_q = c_ab * n_total * PMI_SCALE // denom
+        return pd.DataFrame(
+            {
+                "gram": big["g"].to_numpy(object),
+                "c_ab": c_ab,
+                "c_a": c_a,
+                "c_b": c_b,
+                "score_q": score_q,
+            }
+        )
+
+    scored = (
+        grams.map_batches(stage1_rows, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(lambda g: attach(g, last=False), batch_format="pandas")
+        .groupby("kb")
+        .map_groups(lambda g: attach(g, last=True), batch_format="pandas")
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.select_k_unstable(
+            t, k=k, sort_keys=[("score_q", "descending"), ("gram", "ascending")]
+        )
+        return t.take(idx)
+
+    out = (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .repartition(32)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()  # ≤ k rows, always
+    )
+    if "gram" not in out.columns:  # empty-Dataset schema loss guard
+        out = pd.DataFrame(
+            {
+                "gram": pd.Series([], dtype=str),
+                "c_ab": pd.Series([], dtype="int64"),
+                "c_a": pd.Series([], dtype="int64"),
+                "c_b": pd.Series([], dtype="int64"),
+                "score_q": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.sort_values(
+        ["score_q", "gram"], ascending=[False, True], ignore_index=True
+    )
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out

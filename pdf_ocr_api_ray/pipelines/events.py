@@ -857,3 +857,71 @@ def debounce_events(sf_dir: str, gap_s: int = 300):
         .groupby("ub")
         .map_groups(debounce_bucket, batch_format="pandas")
     )
+
+
+def anomaly_days(sf_dir: str, factor_num: int = 2, factor_den: int = 1):
+    """Per-(event_type, day) volume-spike detection — the monitoring
+    query every event pipeline runs: a day is a spike when its count
+    exceeds ``factor`` × the trailing-7-calendar-day mean, evaluated in
+    PURE INTEGER arithmetic (``7·n·factor_den > factor_num·prev7``) so
+    the SQL twin is hash-exact. Days with an empty 7-day history
+    (``prev7 = 0``) are never spikes — launch days are new, not
+    anomalous. Output: ``(event_type, day, n_events, prev7, is_spike)``.
+
+    Scale shape: ONE (type, day) groupby — the only event-scale work —
+    then the spike rule runs on the calendar-bounded result
+    (types × days rows, the ``active_users`` driver-pivot precedent);
+    missing calendar days contribute zero through a shifted-merge
+    accumulation, exactly the SQL twin's RANGE window."""
+    from ray.data.aggregate import Count
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_day, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()  # calendar-bounded: types × days rows
+    )
+    if "event_type" not in agg.columns:  # empty-Dataset schema loss guard
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=str),
+                "day": pd.Series([], dtype=str),
+                "n_events": pd.Series([], dtype="int64"),
+                "prev7": pd.Series([], dtype="int64"),
+                "is_spike": pd.Series([], dtype="int64"),
+            }
+        )
+    agg = agg.sort_values(["event_type", "day"], ignore_index=True)
+    cnt = dict(
+        zip(zip(agg["event_type"], agg["day"].astype(np.int64)), agg["n_events"])
+    )
+    days = agg["day"].to_numpy(np.int64)
+    types = agg["event_type"].to_numpy(object)
+    prev7 = np.zeros(len(agg), dtype=np.int64)
+    for off in range(1, 8):  # missing calendar days contribute zero
+        prev7 += np.fromiter(
+            (cnt.get((t, d - off), 0) for t, d in zip(types, days)),
+            dtype=np.int64,
+            count=len(agg),
+        )
+    n = agg["n_events"].to_numpy(np.int64)
+    spike = (prev7 > 0) & (7 * n * factor_den > factor_num * prev7)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "day": days.astype("datetime64[D]").astype(str),
+            "n_events": n,
+            "prev7": prev7,
+            "is_spike": spike.astype(np.int64),
+        }
+    )

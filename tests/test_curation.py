@@ -564,3 +564,41 @@ def test_quality_percentile_by_lang_semantics(ray_session, tmp_path):
     assert out.loc[3, "pct_rank"] == 1.0
     assert out.loc[4, "pct_rank"] == 0.0 and out.loc[5, "pct_rank"] == 0.0
     assert out.loc[6, "pct_rank"] == 0.0
+
+
+def test_collocations_planted_pmi(ray_session, tmp_path):
+    """Known count algebra: quantized PMI scores, min_count exclusion,
+    and the (score DESC, gram ASC) tie-break."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.curation import collocations
+
+    docs = [
+        (1, "new york new york new york"),
+        (2, "new york new york new york"),
+        (3, "of the of the of the of the of the of"),
+    ]
+    tmp_path.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = collocations(str(tmp_path), k=10, min_count=5)
+    # york-new (4) and the-of (5<...): counts — "of the" 5x, "the of" 5x
+    n = 23  # 12 + 11 tokens
+    by = got.set_index("gram")
+    assert by.loc["new york", "c_ab"] == 6
+    assert by.loc["new york", "score_q"] == 6 * n * 10**6 // 36
+    assert "york new" not in by.index  # c_ab=4 < min_count
+    # tie-break: equal-score grams order lexicographically
+    assert list(got["rank"]) == sorted(got["rank"])
+    assert (
+        got.sort_values(["score_q", "gram"], ascending=[False, True])["gram"].tolist()
+        == got["gram"].tolist()
+    )

@@ -303,3 +303,42 @@ def test_debounce_events_planted_bursts(ray_session, tmp_path):
     )
     got = debounce_events(str(tmp_path)).to_pandas()
     assert sorted(got["event_id"]) == [1, 5, 6, 7]
+
+
+def test_anomaly_days_planted_spikes(ray_session, tmp_path):
+    """Integer spike rule on a hand-built calendar: empty-history days
+    never flag, calendar gaps count as zero, the boundary is strict."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.events import anomaly_days
+
+    base = pd.Timestamp("2024-05-01")
+    counts = {0: 10, 1: 10, 9: 100, 10: 3}  # day-offset → events of type "a"
+    rows = []
+    for off, n in counts.items():
+        for i in range(n):
+            rows.append((base + pd.Timedelta(days=off, seconds=i)))
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * len(rows), pa.string()),
+                "ts": pa.array([t.to_pydatetime() for t in rows], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = anomaly_days(str(tmp_path)).set_index("day")
+    # day 0: no history → never a spike even at any volume
+    assert got.loc["2024-05-01", "is_spike"] == 0
+    # day 1: prev7 = 10, 7·10 = 70 > 20 → spike (steady volume IS >2× a
+    # one-day-old mean — the rule is trailing-mean, shown strictly)
+    assert got.loc["2024-05-02", "is_spike"] == 1
+    # day 9: prev7 covers days 2-8 → only day 1's 10 events fall in
+    # (days 2..8: only day 1 is offset... day 1 is offset 1 → day 9-7=2
+    # .. day 8 window EXCLUDES day 1) → prev7 = 0 → not a spike
+    assert got.loc["2024-05-10", "prev7"] == 0
+    assert got.loc["2024-05-10", "is_spike"] == 0
+    # day 10: prev7 = day 9's 100 → 7·3 = 21 < 200 → quiet day, no flag
+    assert got.loc["2024-05-11", "is_spike"] == 0
