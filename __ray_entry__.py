@@ -185,6 +185,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_users": events.active_users,
         "span_corruption": _span_corruption,
         "debounce_events": events.debounce_events,
+        # r4 ELEVENTH rotation: PMI collocations, spike detection, and
+        # the actor-pool model row (rows-only) in for doc_stats /
+        # fingerprint / ann_topk (green since r1; families still
+        # registry-represented via dedup_exact + knn_graph/ann_topk_ivf
+        # and the rotated_out pytest gate)
+        "collocations": curation.collocations,
+        "anomaly_days": events.anomaly_days,
+        "neural_quality_score": _neural_quality_score,
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
         # r4 seventh swap: incremental dedup (new-crawl increment vs an
@@ -213,8 +221,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality_score / token_count_bpe projections; fingerprint
         # fuses fingerprint_winnow — one scan each, same columns, and
         # the query count stays within the driver's 50-row cap)
-        "doc_stats": text.doc_stats,
-        "fingerprint": text.fingerprint,
         "document_merge": text.document_merge,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -222,7 +228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "training_prep": prep.training_prep,
         # similarity / embeddings
-        "ann_topk": similarity.ann_topk,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
         # multimodal plumbing (stubbed decode; resize/frame-sample chain)
@@ -346,13 +351,11 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ composition (FAISS's production index shape) —
         # rows-only like its two pinned constituents
         "ann_topk_ivfpq": _ann_topk_ivfpq,
-        # actor-pool model scoring (deterministic classifier stand-in;
-        # weights once per actor) — rows-only like the sketch family
-        "neural_quality_score": _neural_quality_score,
-        # PMI collocation mining — quantized rational score, exact twin
-        "collocations": curation.collocations,
-        # integer-rule trailing-window spike detection
-        "anomaly_days": events.anomaly_days,
+        # r4 eleventh rotation: made room for collocations /
+        # anomaly_days / neural_quality_score
+        "doc_stats": text.doc_stats,
+        "fingerprint": text.fingerprint,
+        "ann_topk": similarity.ann_topk,
         # r4 tenth rotation: made room for active_users /
         # span_corruption / debounce_events
         "ocr_postclean": text.ocr_postclean,
