@@ -216,7 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / streaming-shaped
         "value_percentiles": events.value_percentiles,
         "asof_last_order": events.asof_last_order,
-        "json_props_stats": events.json_props_stats,
+        # r4 twelfth rotation: exact trimmed mean in for the
+        # long-green json_props_stats (events family still holds 6
+        # registry rows)
+        "trimmed_stats": events.trimmed_stats,
         # text analysis (doc_stats fuses the former lang_id /
         # quality_score / token_count_bpe projections; fingerprint
         # fuses fingerprint_winnow — one scan each, same columns, and
@@ -351,6 +354,8 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ composition (FAISS's production index shape) —
         # rows-only like its two pinned constituents
         "ann_topk_ivfpq": _ann_topk_ivfpq,
+        # r4 twelfth rotation: made room for trimmed_stats
+        "json_props_stats": events.json_props_stats,
         # r4 eleventh rotation: made room for collocations /
         # anomaly_days / neural_quality_score
         "doc_stats": text.doc_stats,
@@ -537,6 +542,32 @@ _RELATIONAL_ORACLES = {
                    count(*) AS n_events,
                    round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "trimmed_stats": """
+            -- rank-based 1%-trim: drop the k = n//100 lowest and
+            -- highest OBSERVATIONS per type (ties resolve identically
+            -- regardless of row_number order — tied values are equal),
+            -- then one exact-int division chain mirrored by the engine
+            WITH q AS (
+                SELECT event_type,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), r AS (
+                SELECT event_type, v,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY v) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM q
+            ), kept AS (
+                SELECT event_type, v, n, n // 100 AS k FROM r
+                WHERE rn > n // 100 AND rn <= n - n // 100
+            )
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_events,
+                   CAST(2 * max(k) AS BIGINT) AS n_trimmed,
+                   round(CAST(sum(v) AS DOUBLE) / 1000000.0 / count(*), 4)
+                     AS trimmed_mean
+            FROM kept GROUP BY event_type
         """,
         "anomaly_days": """
             -- spike: 7·n·1 > 2·prev7 with prev7 > 0, prev7 over the

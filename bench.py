@@ -195,6 +195,7 @@ def run_bench() -> dict:
     timeq("neural_quality_score", model.neural_quality_score, consume="count")
     timeq("collocations", curation.collocations, consume="count")
     timeq("anomaly_days", events.anomaly_days, consume="count")
+    timeq("trimmed_stats", events.trimmed_stats, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

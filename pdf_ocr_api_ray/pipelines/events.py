@@ -925,3 +925,192 @@ def anomaly_days(sf_dir: str, factor_num: int = 2, factor_den: int = 1):
             "is_spike": spike.astype(np.int64),
         }
     )
+
+
+def trimmed_stats(sf_dir: str, trim_pct: int = 1):
+    """Robust per-type mean: trim the lowest and highest
+    ``k = n·trim_pct // 100`` OBSERVATIONS (rank-based — the classic
+    trimmed-mean definition, so the whole computation stays in exact
+    integer arithmetic; no interpolated thresholds) and average the
+    rest. Types where trimming exhausts the group emit no row, like
+    the SQL twin's empty group. Output: ``(event_type, n_events,
+    n_trimmed, trimmed_mean)``.
+
+    Scale shape — the ``value_percentiles`` discipline, two bounded
+    passes after the tiny meta aggregate, the driver only ever sees
+    metadata:
+
+    1. per-type ``(n, sum)`` aggregate → ``k`` and the two boundary
+       ranks ``k`` and ``n−k−1``;
+    2. per-type fixed-width histogram carrying per-bin COUNT and SUM
+       (pre-agg per batch; ≤ types × 4096 bin rows shuffle) locates
+       each boundary rank's bin and the exact below-bin prefix
+       count/sum;
+    3. a (value, count) collect over ONLY the two boundary bins
+       resolves the boundary values and in-bin prefixes — then
+       ``lowest_k_sum = below_sum + (k − below_cnt)·v_lo`` (dually for
+       the top) and ``trimmed_mean`` is one division of exact ints.
+       Int64 bound: per-bin micro-unit sums need Σ|value_u| < 2⁶³ per
+       (type, bin) — ~9·10⁹ rows of 10⁹-micro values; shard bins past
+       that (documented, not silent)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    q_ds = _quantize_values(sf_dir).materialize()
+
+    meta = (
+        q_ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_u", alias_name="s"),
+            Min("value_u", alias_name="mn"),
+            Max("value_u", alias_name="mx"),
+        )
+        .to_pandas()
+    )
+    if meta.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=str),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_trimmed": pd.Series([], dtype="int64"),
+                "trimmed_mean": pd.Series([], dtype="float64"),
+            }
+        )
+    info: dict[str, dict] = {}
+    for _, row in meta.iterrows():
+        et = row["event_type"]
+        n, total = int(row["n"]), int(row["s"])
+        k = n * trim_pct // 100
+        mn, mx = int(row["mn"]), int(row["mx"])
+        width = max(1, math.ceil((mx - mn + 1) / _PCT_NBINS))
+        info[et] = {"n": n, "total": total, "k": k, "mn": mn, "width": width}
+    geom_ref = ray.put({et: (d["mn"], d["width"]) for et, d in info.items()})
+
+    # per-type (count, sum) histogram as ONE elementwise_fold row —
+    # the (T × 4096 × 2) state is metadata-bounded (64 KB per type per
+    # blob; a corpus with thousands of event types would switch this
+    # pass back to the keyed-groupby shape) and skips the ~5 s fixed
+    # aggregator ramp a (type, bin) groupby pays per execution
+    from ._util import elementwise_fold
+
+    types = sorted(info)
+    t_idx = {et: i for i, et in enumerate(types)}
+    n_types = len(types)
+
+    def hist_batch(df: pd.DataFrame) -> np.ndarray:
+        look = ray.get(geom_ref)
+        out = np.zeros((n_types, _PCT_NBINS, 2), dtype=np.int64)
+        for et, g in df.groupby("event_type", sort=False):
+            mn, width = look[et]
+            v = g["value_u"].to_numpy()
+            bins = (v - mn) // width
+            ti = t_idx[et]
+            np.add.at(out[ti, :, 0], bins, 1)
+            np.add.at(out[ti, :, 1], bins, v)
+        return out
+
+    hist_arr = elementwise_fold(
+        q_ds, hist_batch, np.add, np.int64, (n_types, _PCT_NBINS, 2)
+    )
+
+    # locate the two boundary ranks' bins + exact below-bin prefixes
+    bounds: dict[str, dict] = {}
+    for et in types:
+        d = info[et]
+        n, k = d["n"], d["k"]
+        if n - 2 * k <= 0:
+            continue
+        cnts = hist_arr[t_idx[et], :, 0]
+        sums = hist_arr[t_idx[et], :, 1]
+        cum_c, cum_s = cnts.cumsum(), sums.cumsum()
+        ent = {}
+        for tag, r in (("lo", k), ("hi", n - k - 1)):
+            idx = int(np.searchsorted(cum_c, r + 1))
+            ent[tag] = {
+                "bin": int(idx),
+                "below_c": int(cum_c[idx] - cnts[idx]),
+                "below_s": int(cum_s[idx] - sums[idx]),
+            }
+        bounds[et] = ent
+    tb_ref = ray.put(
+        {et: {e["lo"]["bin"], e["hi"]["bin"]} for et, e in bounds.items()}
+    )
+
+    def val_partial(df: pd.DataFrame) -> pd.DataFrame:
+        look = ray.get(geom_ref)
+        tbs = ray.get(tb_ref)
+        outs = []
+        for et, g in df.groupby("event_type", sort=False):
+            tb = tbs.get(et)
+            if not tb:
+                continue
+            mn, width = look[et]
+            v = g["value_u"].to_numpy()
+            mask = np.isin((v - mn) // width, list(tb))
+            if mask.any():
+                uv, cnt = np.unique(v[mask], return_counts=True)
+                outs.append(
+                    pd.DataFrame(
+                        {"event_type": et, "value_u": uv, "c": cnt.astype("int64")}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "value_u": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    vals = (
+        q_ds.map_batches(val_partial, batch_format="pandas")
+        .groupby(["event_type", "value_u"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+
+    rows = []
+    for et in sorted(bounds):
+        d, ent = info[et], bounds[et]
+        n, k, total = d["n"], d["k"], d["total"]
+        mn, width = d["mn"], d["width"]
+        g = vals[vals["event_type"] == et]
+        v_all = g["value_u"].to_numpy()
+        c_all = g["n"].to_numpy()
+
+        def resolve(tag: str, rank: int) -> tuple[int, int, int]:
+            """boundary value + exact (count, sum) strictly below it"""
+            e = ent[tag]
+            in_bin = (v_all - mn) // width == e["bin"]
+            order = np.argsort(v_all[in_bin], kind="stable")
+            bv, bc = v_all[in_bin][order], c_all[in_bin][order]
+            cum = bc.cumsum()
+            j = int(np.searchsorted(cum, rank - e["below_c"] + 1))
+            val = int(bv[j])
+            blw_c = e["below_c"] + int(cum[j] - bc[j])
+            blw_s = e["below_s"] + int((bv[:j] * bc[:j]).sum())
+            return val, blw_c, blw_s
+
+        v_lo, blo_c, blo_s = resolve("lo", k)
+        v_hi, bhi_c, bhi_s = resolve("hi", n - k - 1)
+        lowest = blo_s + (k - blo_c) * v_lo
+        # above v_hi: everything minus (≤ v_hi) = total − below_hi − all at v_hi ≤ rank...
+        # count ≤ v_hi via the hi boundary: below_c(hi) + count(v == v_hi)
+        at_hi = int(c_all[(v_all == v_hi)].sum())
+        le_hi_c = bhi_c + at_hi
+        le_hi_s = bhi_s + at_hi * v_hi
+        above_c = n - le_hi_c
+        above_s = total - le_hi_s
+        highest = above_s + (k - above_c) * v_hi
+        kept_n = n - 2 * k
+        ts = total - lowest - highest
+        mean = round_half_away(pd.Series([ts / 1e6 / kept_n]), 4).iloc[0]
+        rows.append((et, n, 2 * k, mean))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_events", "n_trimmed", "trimmed_mean"]
+    ).astype({"n_events": "int64", "n_trimmed": "int64"})

@@ -342,3 +342,40 @@ def test_anomaly_days_planted_spikes(ray_session, tmp_path):
     assert got.loc["2024-05-10", "is_spike"] == 0
     # day 10: prev7 = day 9's 100 → 7·3 = 21 < 200 → quiet day, no flag
     assert got.loc["2024-05-11", "is_spike"] == 0
+
+
+def test_trimmed_stats_planted(ray_session, tmp_path):
+    """Rank-based trimming on hand-built groups: k=n//100 drops exactly
+    the extreme observations, tiny groups trim nothing, duplicate-heavy
+    groups resolve boundaries inside one histogram bin, and a group
+    that trimming exhausts emits no row."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.events import trimmed_stats
+
+    rows = []
+    # type "a": values 1..100 → k=1 → mean of 2..99 = 50.5
+    rows += [("a", float(i)) for i in range(1, 101)]
+    # type "b": 150 copies of 7.25 → k=1, mean unchanged
+    rows += [("b", 7.25)] * 150
+    # type "c": n=50 → k=0 → plain mean of 1..50 = 25.5
+    rows += [("c", float(i)) for i in range(1, 51)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([t for t, _ in rows], pa.string()),
+                "value": pa.array([v for _, v in rows], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = trimmed_stats(str(tmp_path)).set_index("event_type")
+    assert got.loc["a", "n_trimmed"] == 2 and got.loc["a", "trimmed_mean"] == 50.5
+    assert got.loc["b", "n_trimmed"] == 2 and got.loc["b", "trimmed_mean"] == 7.25
+    assert got.loc["c", "n_trimmed"] == 0 and got.loc["c", "trimmed_mean"] == 25.5
+    # 50% trim exhausts every group (k = n//2 → 0 kept) → empty result,
+    # matching the twin's empty groups
+    got50 = trimmed_stats(str(tmp_path), trim_pct=50)
+    assert len(got50) == 0
