@@ -155,10 +155,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": sampling.pack_sequences,
         "sample_stratified": sampling.sample_stratified,
         "group_topk": sampling.group_topk,
-        # approximate by construction — no exact SQL twin exists, so no
-        # oracle_sql() entry: the driver records a rows-only check and
-        # tests/test_events_sketch.py pins the rank-error bound
-        "value_percentiles_sketch": events.value_percentiles_sketch,
+        # r5 THIRTEENTH rotation (VERDICT r4 ask #1): the two rows-only
+        # ops (value_percentiles_sketch — t-digest sketch; the driver
+        # recorded err="no_oracle" on both) swap OUT to the rotated_out
+        # pytest gate where their error-bound/reference tests already
+        # pin them, and two bit-exact SQL-twin ops long-green on the
+        # pytest gate swap IN so every driver registry row is
+        # hash-verifiable: exact global token-budget fill and
+        # percent_rank quality calibration
+        "select_token_budget": text.select_token_budget,
+        "quality_percentile_by_lang": text.quality_percentile_by_lang,
         "media_decode_ppm": media.media_decode_ppm,
         # relational coverage
         # r4 THIRD rotation: deterministic epoch shuffle, unigram-LM
@@ -185,14 +191,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_users": events.active_users,
         "span_corruption": _span_corruption,
         "debounce_events": events.debounce_events,
-        # r4 ELEVENTH rotation: PMI collocations, spike detection, and
-        # the actor-pool model row (rows-only) in for doc_stats /
-        # fingerprint / ann_topk (green since r1; families still
-        # registry-represented via dedup_exact + knn_graph/ann_topk_ivf
-        # and the rotated_out pytest gate)
+        # r4 ELEVENTH rotation: PMI collocations and spike detection in
+        # for doc_stats / fingerprint / ann_topk (green since r1;
+        # families still registry-represented). The actor-pool model
+        # row (neural_quality_score, rows-only) held a registry slot in
+        # r4 and moved to rotated_out in the r5 thirteenth rotation.
         "collocations": curation.collocations,
         "anomaly_days": events.anomaly_days,
-        "neural_quality_score": _neural_quality_score,
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
         # r4 seventh swap: incremental dedup (new-crawl increment vs an
@@ -324,8 +329,13 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # binary content, like the sketch family); pinned by the
         # brute-force all-pairs reference test
         "media_phash_dup": media.media_phash_dup,
-        "select_token_budget": text.select_token_budget,
-        "quality_percentile_by_lang": text.quality_percentile_by_lang,
+        # r5 thirteenth rotation: the two rows-only registry rows moved
+        # here (driver recorded err="no_oracle"); the t-digest sketch
+        # keeps its rank-error-bound gate (tests/test_events_sketch.py,
+        # exact twin value_percentiles IS hash-verified) and the model
+        # row keeps its reference gate (tests/test_model_score.py)
+        "value_percentiles_sketch": events.value_percentiles_sketch,
+        "neural_quality_score": _neural_quality_score,
         "curate_corpus": curation.curate_corpus,
         "dedup_survivors": dedup.dedup_survivors,
         # windowed ExactSubstr (Lee et al. 2022) — duplicated-substring
@@ -438,6 +448,18 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+# parameterized-op defaults interpolated into the inline twins below
+# (the bigram_fluency_sql / source_overlap_sql pattern): engine default
+# and oracle constant are ONE value, so calling an op with a
+# non-default argument can't silently diverge from the parity oracle
+from pdf_ocr_api_ray.pipelines.events import (  # noqa: E402
+    ACTIVE_USERS_WINDOW_DAYS as _AU_WINDOW_DAYS,
+    ANOMALY_FACTOR_DEN as _ANOM_DEN,
+    ANOMALY_FACTOR_NUM as _ANOM_NUM,
+    DEBOUNCE_GAP_S as _DEBOUNCE_GAP_S,
+    TRIMMED_STATS_TRIM_PCT as _TRIM_PCT,
+)
+
 _RELATIONAL_ORACLES = {
         "pricing_summary": """
             -- measures quantized to integer units per row (cents /
@@ -543,8 +565,8 @@ _RELATIONAL_ORACLES = {
                    round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_value
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
         """,
-        "trimmed_stats": """
-            -- rank-based 1%-trim: drop the k = n//100 lowest and
+        "trimmed_stats": f"""
+            -- rank-based trim: drop the k = n·trim_pct//100 lowest and
             -- highest OBSERVATIONS per type (ties resolve identically
             -- regardless of row_number order — tied values are equal),
             -- then one exact-int division chain mirrored by the engine
@@ -559,8 +581,9 @@ _RELATIONAL_ORACLES = {
                        count(*) OVER (PARTITION BY event_type) AS n
                 FROM q
             ), kept AS (
-                SELECT event_type, v, n, n // 100 AS k FROM r
-                WHERE rn > n // 100 AND rn <= n - n // 100
+                SELECT event_type, v, n, n * {_TRIM_PCT} // 100 AS k FROM r
+                WHERE rn > n * {_TRIM_PCT} // 100
+                  AND rn <= n - n * {_TRIM_PCT} // 100
             )
             SELECT event_type,
                    CAST(max(n) AS BIGINT) AS n_events,
@@ -569,10 +592,10 @@ _RELATIONAL_ORACLES = {
                      AS trimmed_mean
             FROM kept GROUP BY event_type
         """,
-        "anomaly_days": """
-            -- spike: 7·n·1 > 2·prev7 with prev7 > 0, prev7 over the
-            -- trailing 7 CALENDAR days (RANGE window ≡ the engine's
-            -- shifted-merge zero-fill)
+        "anomaly_days": f"""
+            -- spike: 7·n·den > num·prev7 with prev7 > 0, prev7 over
+            -- the trailing 7 CALENDAR days (RANGE window ≡ the
+            -- engine's shifted-merge zero-fill)
             WITH d AS (
                 SELECT event_type, CAST(ts AS DATE) AS day,
                        CAST(count(*) AS BIGINT) AS n_events
@@ -588,13 +611,14 @@ _RELATIONAL_ORACLES = {
             )
             SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
                    prev7,
-                   CAST(prev7 > 0 AND 7 * n_events * 1 > 2 * prev7 AS BIGINT)
+                   CAST(prev7 > 0 AND 7 * n_events * {_ANOM_DEN}
+                        > {_ANOM_NUM} * prev7 AS BIGINT)
                      AS is_spike
             FROM w
         """,
-        "debounce_events": """
+        "debounce_events": f"""
             -- keep an event iff the previous same-(user,type) event is
-            -- more than 300 s old (ties ordered by ts, event_id)
+            -- more than gap_s seconds old (ties ordered by ts, event_id)
             SELECT event_id, user_id, event_type, ts FROM (
                 SELECT event_id, user_id, event_type, ts,
                        lag(ts) OVER (PARTITION BY user_id, event_type
@@ -602,11 +626,12 @@ _RELATIONAL_ORACLES = {
                 FROM events
             )
             WHERE prev_ts IS NULL
-               OR date_diff('microsecond', prev_ts, ts) > 300 * 1000000
+               OR date_diff('microsecond', prev_ts, ts)
+                  > {_DEBOUNCE_GAP_S} * 1000000
         """,
-        "active_users": """
-            -- exact DAU + trailing-7-day WAU; anchors with no same-day
-            -- events drop at the inner join (engine: at the pivot)
+        "active_users": f"""
+            -- exact DAU + trailing-window WAU; anchors with no
+            -- same-day events drop at the inner join (engine: pivot)
             WITH du AS (
                 SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
             ), dau AS (
@@ -615,7 +640,8 @@ _RELATIONAL_ORACLES = {
             ), wau AS (
                 SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
                 FROM (SELECT DISTINCT day FROM du) d
-                JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+                JOIN du u ON u.day BETWEEN
+                    d.day - INTERVAL {_AU_WINDOW_DAYS - 1} DAY AND d.day
                 GROUP BY d.day
             )
             SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau

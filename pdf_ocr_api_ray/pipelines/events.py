@@ -19,6 +19,18 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Registry defaults for the parameterized event ops. The inline SQL
+# twins in __ray_entry__.oracle_sql() interpolate THESE constants (the
+# bigram_fluency_sql pattern) so calling an op with a non-default
+# argument can never silently invalidate the parity oracle — engine
+# and twin read the same value from one place.
+ACTIVE_USERS_WINDOW_DAYS = 7
+DEBOUNCE_GAP_S = 300
+ANOMALY_FACTOR_NUM = 2
+ANOMALY_FACTOR_DEN = 1
+TRIMMED_STATS_TRIM_PCT = 1
+
+
 def events_daily(sf_dir: str):
     """Tumbling daily window per event_type (day as string so the
     grouping key is engine-agnostic)."""
@@ -732,7 +744,11 @@ def range_join_events(sf_dir: str, window_s: int = 3600):
     )
 
 
-def active_users(sf_dir: str, window_days: int = 7, num_buckets: int = 256):
+def active_users(
+    sf_dir: str,
+    window_days: int = ACTIVE_USERS_WINDOW_DAYS,
+    num_buckets: int = 256,
+):
     """Exact daily / trailing-window active users (DAU + WAU) — the
     canonical engagement report whose hard part is COUNT DISTINCT per
     overlapping window at scale. Output per day with ≥1 event:
@@ -818,7 +834,7 @@ def active_users(sf_dir: str, window_days: int = 7, num_buckets: int = 256):
     )
 
 
-def debounce_events(sf_dir: str, gap_s: int = 300):
+def debounce_events(sf_dir: str, gap_s: int = DEBOUNCE_GAP_S):
     """Burst-collapse retention filter — the client-retry / double-fire
     cleaner analytics pipelines run before counting anything: an event
     is DROPPED when the immediately preceding event of the same
@@ -859,7 +875,11 @@ def debounce_events(sf_dir: str, gap_s: int = 300):
     )
 
 
-def anomaly_days(sf_dir: str, factor_num: int = 2, factor_den: int = 1):
+def anomaly_days(
+    sf_dir: str,
+    factor_num: int = ANOMALY_FACTOR_NUM,
+    factor_den: int = ANOMALY_FACTOR_DEN,
+):
     """Per-(event_type, day) volume-spike detection — the monitoring
     query every event pipeline runs: a day is a spike when its count
     exceeds ``factor`` × the trailing-7-calendar-day mean, evaluated in
@@ -927,7 +947,7 @@ def anomaly_days(sf_dir: str, factor_num: int = 2, factor_den: int = 1):
     )
 
 
-def trimmed_stats(sf_dir: str, trim_pct: int = 1):
+def trimmed_stats(sf_dir: str, trim_pct: int = TRIMMED_STATS_TRIM_PCT):
     """Robust per-type mean: trim the lowest and highest
     ``k = n·trim_pct // 100`` OBSERVATIONS (rank-based — the classic
     trimmed-mean definition, so the whole computation stays in exact
