@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -157,58 +159,98 @@ def top_customers_per_segment(sf_dir: str, k: int = 3):
     )
 
 
-def orders_per_nation(sf_dir: str):
-    """Hash-partitioned big×big join (orders ⋈ customer) + broadcast dim
-    lookup (nation → dict inside the batch fn) + grouped aggregate."""
+def orders_per_nation(sf_dir: str, num_buckets: int = 256):
+    """Fact×dim-key join (orders ⋈ customer ⋈ nation) + grouped
+    aggregate via the union+groupby co-location idiom (the
+    ``dedup_segments`` 10.1→2.8 s move, applied per VERDICT r4 ask #2):
+    ``Dataset.join`` pays a ~5-7 s fixed aggregator/exchange ramp at
+    sf0.1, while tagging both sides and co-locating them in ONE
+    custkey-bucketed groupby costs a single keyed exchange over slim
+    integer rows. Per bucket, a vectorized pandas merge joins the
+    orders to their customers, the 25-row nation dim (broadcast inside
+    the closure) attaches via ``Series.map``, and the bucket emits ≤25
+    partially-aggregated ``(n_name, n_orders, price_c)`` rows — the
+    final nation-level groupby moves ≤num_buckets×25 rows."""
     import pyarrow.parquet as pq
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     nation_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
 
-    # pre-aggregate the fact side by the join key BEFORE the join: the
-    # join inputs shrink from |orders| rows to ≤|customer| rows, so the
-    # hash-partitioned exchange moves aggregates, not facts
     orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
 
-    def quantize(t: pa.Table) -> pa.Table:
+    # both union sides carry the same slim int schema: (custkey, bucket,
+    # nationkey) with nationkey = -1 tagging fact rows (real nationkeys
+    # are non-negative), plus the quantized price (0 on dim rows)
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"o_custkey": t["o_custkey"], "price_c": _icol(t, "o_totalprice", 100.0)}
+            {
+                "custkey": pa.array(keys, pa.int64()),
+                "b": pa.array(keys % num_buckets, pa.int64()),
+                "nationkey": pa.array(np.full(len(keys), -1, dtype=np.int64)),
+                "price_c": _icol(t, "o_totalprice", 100.0),
+            }
         )
 
-    per_cust = (
-        orders.map_batches(quantize, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    def tag_cust(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "custkey": pa.array(keys, pa.int64()),
+                "b": pa.array(keys % num_buckets, pa.int64()),
+                "nationkey": t["c_nationkey"].cast(pa.int64()),
+                "price_c": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
+
+    n_keys = max(nation_map) + 1  # dense small key space (25 nations)
+
+    def bucket_merge(group: pd.DataFrame) -> pd.DataFrame:
+        is_fact = group["nationkey"].to_numpy() < 0
+        facts = group[is_fact]
+        dims = group[~is_fact]
+        # inner-join semantics: orders without a customer row drop at
+        # the merge; customers without orders never produce fact rows
+        per_cust = facts.groupby("custkey", sort=False).agg(
+            n_orders=("price_c", "size"), price_c=("price_c", "sum")
+        )
+        merged = per_cust.merge(
+            dims[["custkey", "nationkey"]], left_index=True, right_on="custkey", how="inner"
+        )
+        out = merged.groupby("nationkey", sort=False, as_index=False).agg(
+            n_orders=("n_orders", "sum"), price_c=("price_c", "sum")
+        )
+        return out[["nationkey", "n_orders", "price_c"]]
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        cust.map_batches(tag_cust, batch_format="pyarrow")
     )
-    from ._util import clamped_join_partitions
+    partials = tagged.groupby("b").map_groups(bucket_merge, batch_format="pandas")
 
-    cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    joined = per_cust.join(
-        cust,
-        join_type="inner",
-        num_partitions=clamped_join_partitions(64),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    # the surviving data is ≤num_buckets×25 integer partials — a keyed
+    # Ray aggregate here pays ~5 s of fixed aggregator ramp for nothing
+    # (the elementwise_fold motivation); fold to ONE (n_keys, 2) int64
+    # row instead and finish the ≤25-row derive on the driver
+    def per_batch(df: pd.DataFrame) -> np.ndarray:
+        arr = np.zeros((n_keys, 2), dtype=np.int64)
+        keys = df["nationkey"].to_numpy()
+        np.add.at(arr[:, 0], keys, df["n_orders"].to_numpy())
+        np.add.at(arr[:, 1], keys, df["price_c"].to_numpy())
+        return arr
+
+    from ._util import elementwise_fold, round_half_away
+
+    totals = elementwise_fold(partials, per_batch, np.add, np.int64, (n_keys, 2))
+    live = np.flatnonzero(totals[:, 0])  # nations with ≥1 joined order
+    return pd.DataFrame(
+        {
+            "n_name": [nation_map[int(k)] for k in live],
+            "n_orders": totals[live, 0],
+            "total_price": round_half_away(pd.Series(totals[live, 1] / 100.0), 2),
+        }
     )
-
-    def add_nation(t: pa.Table) -> pa.Table:
-        keys = t["c_nationkey"].to_pylist()
-        names = pa.array([nation_map.get(k) for k in keys], pa.string())
-        return t.append_column("n_name", names)
-
-    agg = (
-        joined.map_batches(add_nation, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
-    )
-
-    def derive(t: pa.Table) -> pa.Table:
-        t = _derive(t, "total_price", "price_c", 100.0, 2)
-        return t.drop_columns(["price_c"])
-
-    return agg.map_batches(derive, batch_format="pyarrow")
 
 
 def mktsegment_stats(sf_dir: str):
