@@ -920,9 +920,9 @@ def bigram_fluency(
         is_tot = pc.equal(t["g"], "")
         rest = t.filter(pc.invert(is_tot))
         is_big = pc.match_substring(rest["g"], " ")
+        uni_all = rest.filter(pc.invert(is_big))
         sides = []
-        for side, k in ((rest.filter(is_big), top_bigrams),
-                        (rest.filter(pc.invert(is_big)), top_words)):
+        for side, k in ((rest.filter(is_big), top_bigrams), (uni_all, top_words)):
             if side.num_rows > k:
                 idx = pc.select_k_unstable(
                     side, k=k,
@@ -930,9 +930,11 @@ def bigram_fluency(
                 )
                 side = side.take(idx)
             sides.append(side)
-        # first pass sums the block's unigram occurrences; later passes
-        # only merge already-emitted totals (never re-count)
-        tot_src = sides[1]["c"] if first else t.filter(is_tot)["c"]
+        # first pass sums the block's unigram occurrences — over the
+        # UNCAPPED unigram side, so N matches the twin's sum over ALL
+        # unigram counts even when the top_words cap bites; later
+        # passes only merge already-emitted totals (never re-count)
+        tot_src = uni_all["c"] if first else t.filter(is_tot)["c"]
         tot = pc.sum(tot_src).as_py() or 0
         sides.append(
             pa.table({"g": pa.array([""], pa.string()),

@@ -512,6 +512,10 @@ def knn_graph(sf_dir: str, k: int = 5):
         # exclude self by id (the corpus has unique vec_ids)
         self_mask = ids[:, None] == ids_all[None, :]
         sims[self_mask] = -np.inf
+        # rank on round(sim, 9) — the twin's ulp-washed key — so the
+        # top-k boundary tie SET matches the oracle bit-for-bit, not
+        # just up to <1e-9 raw-float daylight
+        sims = np.round(sims, 9)
         # per-row top-k: argpartition then exact (sim DESC, id ASC) order
         part = np.argpartition(-sims, kth=min(k, sims.shape[1] - 1) - 1, axis=1)[:, :k]
         rows = np.repeat(np.arange(len(ids)), part.shape[1])
@@ -574,6 +578,8 @@ def hard_negatives(sf_dir: str, k: int = 5):
         labels = df["label"].to_numpy(dtype=np.int64)
         # negatives only: same-label candidates (including self) masked
         sims[labels[:, None] == labels_all[None, :]] = -np.inf
+        # ulp-wash to the twin's round(sim, 9) key (see knn_graph)
+        sims = np.round(sims, 9)
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
         rows = np.repeat(np.arange(len(ids)), part.shape[1])

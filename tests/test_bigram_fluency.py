@@ -75,6 +75,35 @@ def test_backoff_route_scores_known_unigrams_above_unknown(ray_session, tmp_path
     assert (got.loc[[1, 2, 3, 4], "fluency"] > 0).all()
 
 
+def test_forced_cap_parity_vs_sql_twin(ray_session):
+    """Force the top_words / top_bigrams caps to bite (sf0.001 has far
+    more than 64 distinct grams per first-pass block) and require
+    bit-exact parity with the parameterized SQL twin — pins that the
+    corpus token total N sums the UNCAPPED unigram counts (the twin's
+    n_total), not the per-block capped side."""
+    import duckdb
+
+    from pdf_ocr_api_ray.oracles import bigram_fluency_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _run(sf, top_words=64, top_bigrams=64)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(bigram_fluency_sql(top_bigrams=64, top_words=64))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, rtol=0, atol=0,
+    )
+
+
 def test_quantized_terms_are_exact_integers(ray_session, tmp_path):
     """fluency · n_bigrams · 1e9 must reconstruct the integer term sum
     exactly — the quantization contract the SQL twin relies on."""
