@@ -182,7 +182,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated_out_queries() and keep their pytest oracle gate
         "bigram_fluency": curation.bigram_fluency,
         "source_overlap": dedup.source_overlap,
-        "hard_negatives": similarity.hard_negatives,
+        # r5 FOURTEENTH rotation: the IVF-cell hard-negative miner (the
+        # genuine 10⁹-vector retrieval path — cell co-location, no
+        # corpus broadcast) takes the brute-force hard_negatives row;
+        # the exact anchor moves to rotated_out_queries() and stays the
+        # recall baseline. The driver row runs FULL-probe (candidate
+        # set = whole different-label corpus → bit-equal to the twin;
+        # the sf corpus is isotropic noise where pruned probing has no
+        # structure to find); pruned recall ≥ 0.95 is pinned on
+        # planted-cluster corpora in tests/test_similarity.py.
+        "hard_negatives_ann": _hard_negatives_ann_fullprobe,
         "tfidf_terms": text.tfidf_terms,
         # r4 TENTH rotation: DAU/WAU, T5 span corruption, and event
         # debounce get driver rows; ocr_postclean / span_combine /
@@ -257,6 +266,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _hard_negatives_ann_fullprobe(sf_dir: str):
+    """hard_negatives_ann in its parity configuration: every IVF cell
+    probed, so the candidate set is the full different-label corpus
+    and the output is bit-equal to the brute-force SQL twin. The full
+    cell-routing + co-location + partial-merge machinery runs; only
+    the pruning knob is maxed (its recall is pinned separately on
+    planted-cluster corpora)."""
+    from pdf_ocr_api_ray.pipelines.similarity import IVF_CELLS, hard_negatives_ann
+
+    return hard_negatives_ann(sf_dir, n_probe_cells=IVF_CELLS)
+
+
 def _neardup_index(sf_dir: str):
     """Persisted-LSH-index near-dup pairs (build + query roundtrip —
     production builds once, queries per increment)."""
@@ -292,6 +313,11 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "systematic_sample": events.systematic_sample,
         "union_parties": events.union_parties,
+        # r5 fourteenth rotation: the brute-force hard-negative anchor
+        # (corpus broadcast + O(N²) matmul — the exactness baseline the
+        # ANN miner's recall gate compares against) made room for
+        # hard_negatives_ann in the driver registry
+        "hard_negatives": similarity.hard_negatives,
         "part_type_counts": relational.part_type_counts,
         "span_delete": spanops.delete_chunks,
         "span_reorder": spanops.reorder_chunks,
@@ -1156,6 +1182,22 @@ _RELATIONAL_ORACLES = {
         "hard_negatives": """
             -- knn_graph restricted to different-label candidates —
             -- same round(sim, 9) ulp-washing contract
+            WITH sims AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS sim
+                FROM embeddings a JOIN embeddings b ON a.label <> b.label
+            )
+            SELECT vec_id, rank, neg_id FROM (
+                SELECT vec_id, neg_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim, 9) DESC, neg_id) AS rank
+                FROM sims
+            ) WHERE rank <= 5
+        """,
+        # hard_negatives_ann's driver row runs full-probe (candidate
+        # set = whole different-label corpus), so the brute-force twin
+        # applies verbatim — same ulp-washed rank contract
+        "hard_negatives_ann": """
             WITH sims AS (
                 SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
                        list_cosine_similarity(a.embedding, b.embedding) AS sim

@@ -188,6 +188,12 @@ def run_bench() -> dict:
     timeq("bigram_fluency", curation.bigram_fluency, consume="count")
     timeq("source_overlap", dedup.source_overlap, consume="count")
     timeq("hard_negatives", similarity.hard_negatives, consume="count")
+    # r5: the IVF-cell miner at its pruned (scale-path) configuration
+    timeq(
+        "hard_negatives_ann",
+        lambda sf: similarity.hard_negatives_ann(sf, n_probe_cells=4),
+        consume="count",
+    )
     timeq("tfidf_terms", text.tfidf_terms, consume="count")
     timeq("active_users", events.active_users, consume="count")
     timeq("span_corruption", prep.span_corruption, consume="count")

@@ -598,3 +598,138 @@ def hard_negatives(sf_dir: str, k: int = 5):
         )
 
     return ds.map_batches(batch_topk, batch_format="pandas")
+
+def hard_negatives_ann(
+    sf_dir: str,
+    k: int = 5,
+    n_probe_cells: int = 4,
+    train: str = "sample",
+):
+    """The 10⁹-vector scale path for hard-negative mining: for EVERY
+    vector, the top-``k`` most cosine-similar vectors with a DIFFERENT
+    label, mined from the vector's ``n_probe_cells`` nearest IVF cells
+    with exact re-ranking within the candidate set — the retrieval
+    stage a contrastive-training pipeline (ANCE / DPR) runs where the
+    brute-force ``hard_negatives`` anchor (corpus broadcast + O(N²)
+    matmul) stops fitting.
+
+    Scale shape — NO corpus broadcast, NO all-pairs: the coarse
+    quantizer (spherical k-means, same trainers as ``ann_topk_ivf``)
+    is the only driver-side state; ONE scan tags each vector with its
+    home cell (a member row) and with each of its ``n_probe_cells``
+    nearest cells (query rows), ONE cell-keyed groupby co-locates
+    queries with candidates (each member lives in exactly one cell, so
+    a (query, candidate) pair is scored at most once — partials need
+    no dedup), each cell group does one (queries × members) matmul +
+    per-query partial top-k (≤ k rows per query per cell leave the
+    group), and a final vec_id groupby merges partials into exact
+    within-candidates ranks. Shuffle volume: (n_probe_cells + 1) × N
+    embedding rows — linear in the corpus, never quadratic.
+
+    Rank order is (round(sim, 9) DESC, neg_id ASC) — the ulp-washed
+    contract shared with ``knn_graph`` / ``hard_negatives``. With
+    ``n_probe_cells = IVF_CELLS`` every cell is probed, the candidate
+    set is the full different-label corpus, and the output equals the
+    brute-force twin BIT-FOR-BIT (the driver parity row runs this
+    configuration: the registry corpus is isotropic noise, where
+    pruned probing has no planted structure to find); the pruned
+    default's recall vs the exact anchor is pinned ≥ 0.95 on
+    planted-cluster corpora in tests/test_similarity.py."""
+    import ray  # noqa: F401  (parity with sibling ops' import shape)
+
+    if train == "full":
+        cents = _kmeans_centroids_distributed(sf_dir, IVF_CELLS)
+    else:
+        sample = _smallest_by_vec_id(sf_dir, IVF_SAMPLE)
+        smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+        smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+        cents = _kmeans_centroids(smat, IVF_CELLS)
+    n_probe = min(n_probe_cells, IVF_CELLS)
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sims_c = vecs @ cents.T
+        home = np.argmax(sims_c, axis=1).astype(np.int64)
+        # query side: the n_probe nearest cells (ties by cell id —
+        # argsort is stable on the negated sims)
+        probe = np.argsort(-sims_c, axis=1, kind="stable")[:, :n_probe]
+        n = len(df)
+        emb = df["embedding"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "cell": np.concatenate([home, probe.ravel()]),
+                "role": np.repeat(
+                    np.array([0, 1], dtype=np.int64), [n, n * n_probe]
+                ),
+                "vec_id": np.concatenate(
+                    [
+                        df["vec_id"].to_numpy(dtype=np.int64),
+                        np.repeat(df["vec_id"].to_numpy(dtype=np.int64), n_probe),
+                    ]
+                ),
+                "label": np.concatenate(
+                    [
+                        df["label"].to_numpy(dtype=np.int64),
+                        np.repeat(df["label"].to_numpy(dtype=np.int64), n_probe),
+                    ]
+                ),
+                "embedding": np.concatenate([emb, np.repeat(emb, n_probe)]),
+            }
+        )
+        return out
+
+    routed = ds.map_batches(route, batch_format="pandas")
+
+    def cell_topk(group: pd.DataFrame) -> pd.DataFrame:
+        members = group[group["role"] == 0]
+        queries = group[group["role"] == 1]
+        if not len(members) or not len(queries):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neg_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        mvec = np.stack(members["embedding"].to_numpy()).astype(np.float64)
+        mvec /= np.maximum(np.linalg.norm(mvec, axis=1, keepdims=True), 1e-30)
+        qvec = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+        qvec /= np.maximum(np.linalg.norm(qvec, axis=1, keepdims=True), 1e-30)
+        sims = np.round(qvec @ mvec.T, 9)  # the twin's round(sim, 9) key
+        qlab = queries["label"].to_numpy(dtype=np.int64)
+        mlab = members["label"].to_numpy(dtype=np.int64)
+        sims[qlab[:, None] == mlab[None, :]] = -np.inf  # masks self too
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qvec)), part.shape[1])
+        cand_s = sims[rows, part.ravel()]
+        finite = np.isfinite(cand_s)
+        mids = members["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": queries["vec_id"].to_numpy(dtype=np.int64)[rows[finite]],
+                "neg_id": mids[part.ravel()[finite]],
+                "sim": cand_s[finite],
+            }
+        )
+
+    partials = routed.groupby("cell").map_groups(cell_topk, batch_format="pandas")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["sim", "neg_id"], ascending=[False, True]
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(dtype=np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neg_id": g["neg_id"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("vec_id").map_groups(final_topk, batch_format="pandas")

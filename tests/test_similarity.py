@@ -264,3 +264,79 @@ def test_hard_negatives_skips_same_label(ray_session, tmp_path):
     assert list(g0["rank"]) == [1, 2] and set(g0["neg_id"]) == {28, 29}
     # label-1 queries see all 28 label-0 vectors → full k rows
     assert len(got[got["vec_id"] == 28]) == 5
+
+
+def test_hard_negatives_ann_fullprobe_equals_exact(ray_session):
+    """With every IVF cell probed the candidate set is the whole
+    different-label corpus, so the ANN miner must equal the brute-force
+    anchor BIT-FOR-BIT (same ulp-washed rank contract) — pins that the
+    cell co-location machinery loses no pair and ranks identically."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.similarity import (
+        IVF_CELLS,
+        hard_negatives,
+        hard_negatives_ann,
+    )
+
+    exact = (
+        hard_negatives(SF)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ann = (
+        hard_negatives_ann(SF, n_probe_cells=IVF_CELLS)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, ann)
+
+
+def test_hard_negatives_ann_recall_on_planted_clusters(ray_session, tmp_path):
+    """The pruned configuration's recall gate: on a corpus with genuine
+    cluster structure (8 well-separated centers, labels mixed WITHIN
+    each cluster, so every vector's true hard negatives live in its own
+    cluster), probing 4 of 16 cells must recover ≥ 0.95 of the exact
+    anchor's top-k pairs. (On isotropic noise recall ≈ scan fraction —
+    there is no structure for ANY sublinear index to exploit; that is
+    why the driver parity row runs full-probe.)"""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.similarity import (
+        hard_negatives,
+        hard_negatives_ann,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 64, 8, 40
+    centers = np.zeros((n_clusters, dim))
+    for c in range(n_clusters):
+        centers[c, c * 8 : c * 8 + 8] = 3.0  # disjoint support → orthogonal
+    vecs, labels = [], []
+    for c in range(n_clusters):
+        vecs.append(centers[c][None, :] + rng.standard_normal((per, dim)) * 0.3)
+        labels.append(np.arange(per) % 2 + c * 2)  # two labels per cluster
+    corpus = np.vstack(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(corpus), dtype=np.int64) + 1),
+            "embedding": pa.array(
+                list(corpus.astype(np.float32)), type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                np.concatenate(labels).astype(np.int32), type=pa.int32()
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    exact = hard_negatives(str(tmp_path), k=5).to_pandas()
+    ann = hard_negatives_ann(str(tmp_path), k=5, n_probe_cells=4).to_pandas()
+    hits = exact.merge(ann, on=["vec_id", "neg_id"], how="inner")
+    recall = len(hits) / len(exact)
+    assert recall >= 0.95, f"recall@5 {recall:.3f} < 0.95"
