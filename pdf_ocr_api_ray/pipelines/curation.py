@@ -836,8 +836,47 @@ SB_LAMBDA_DEN = 5  # as an exact rational so every term is integer math
 FLUENCY_SCALE = 10**9
 
 
+def gram_tables(sf_dir: str):
+    """The fused unigram+bigram corpus count table, materialized once
+    and SHARED by every gram-consuming op (``bigram_fluency``,
+    ``collocations``): a ``\\S+`` token can never contain the space
+    that joins a bigram key, so both count tables ride ONE corpus scan
+    and ONE vocabulary-sized groupby collision-free. Returns the
+    materialized (g, c) Dataset — bounded by the gram vocabulary, not
+    the corpus — which downstream ops consume as many times as needed
+    without rescanning the corpus (each op previously rebuilt this
+    identical exchange: sharing it halves the pair's combined wall)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        frames = []
+        for n in (1, 2):
+            _, _, grams = _flat_grams(texts, n)
+            counts = pd.Series(grams, dtype=object).value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "g": counts.index.astype(str),
+                        "partial": counts.values.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("partial", alias_name="c"))
+        .materialize()  # bounded by the (uni+bi)gram vocabulary
+    )
+
+
 def bigram_fluency(
-    sf_dir: str, top_bigrams: int = 1 << 20, top_words: int = 1 << 20
+    sf_dir: str, top_bigrams: int = 1 << 20, top_words: int = 1 << 20,
+    grams=None,
 ):
     """Per-document corpus fluency under a Stupid Backoff bigram LM
     (Brants et al. 2007) — the distributed n-gram-LM quality signal
@@ -881,36 +920,14 @@ def bigram_fluency(
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    # unigrams are \S+ runs (never contain a space) and bigram keys are
-    # space-joined, so the two gram spaces cannot collide as strings —
-    # BOTH count tables ride ONE corpus scan and ONE vocabulary-sized
-    # exchange, split afterwards on the materialized bounded blocks
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("")
-        frames = []
-        for n in (1, 2):
-            _, _, grams = _flat_grams(texts, n)
-            counts = pd.Series(grams, dtype=object).value_counts()
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "g": counts.index.astype(str),
-                        "partial": counts.values.astype(np.int64),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
-
-    grams = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("g")
-        .aggregate(Sum("partial", alias_name="c"))
-        .materialize()  # bounded by the (uni+bi)gram vocabulary
-    )
+    # the fused (g, c) table — built here unless the caller passes the
+    # shared gram_tables() materialization (bench / multi-op pipelines
+    # pay the corpus scan + vocabulary exchange ONCE for the pair)
+    if grams is None:
+        grams = gram_tables(sf_dir)
 
     # ONE fold chain delivers all three bounded results — the capped
     # unigram table, the capped bigram table, and the corpus token
@@ -1043,7 +1060,10 @@ def bigram_fluency(
 PMI_SCALE = 10**6
 
 
-def collocations(sf_dir: str, k: int = 100, min_count: int = 5, num_buckets: int = 256):
+def collocations(
+    sf_dir: str, k: int = 100, min_count: int = 5, num_buckets: int = 256,
+    grams=None,
+):
     """Corpus-wide collocation extraction: the top-``k`` bigrams by
     (quantized, log-free) pointwise mutual information — the classic
     corpus-linguistics tool for multi-word expressions and the phrase
@@ -1072,32 +1092,11 @@ def collocations(sf_dir: str, k: int = 100, min_count: int = 5, num_buckets: int
     """
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("")
-        frames = []
-        for n in (1, 2):
-            _, _, grams = _flat_grams(texts, n)
-            counts = pd.Series(grams, dtype=object).value_counts()
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "g": counts.index.astype(str),
-                        "partial": counts.values.astype(np.int64),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
-
-    grams = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("g")
-        .aggregate(Sum("partial", alias_name="c"))
-        .materialize()  # bounded by the (uni+bi)gram vocabulary
-    )
+    # the fused (g, c) table — built here unless the caller passes the
+    # shared gram_tables() materialization (see bigram_fluency)
+    if grams is None:
+        grams = gram_tables(sf_dir)
 
     def n_fold(t: pa.Table) -> pd.DataFrame:
         uni_c = t.filter(pc.invert(pc.match_substring(t["g"], " ")))["c"]

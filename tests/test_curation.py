@@ -602,3 +602,29 @@ def test_collocations_planted_pmi(ray_session, tmp_path):
         got.sort_values(["score_q", "gram"], ascending=[False, True])["gram"].tolist()
         == got["gram"].tolist()
     )
+
+
+def test_shared_gram_table_matches_standalone(ray_session):
+    """bigram_fluency and collocations consuming ONE shared
+    gram_tables() materialization must equal their standalone runs
+    bit-for-bit — the shared-scan contract bench.py relies on."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.curation import (
+        bigram_fluency,
+        collocations,
+        gram_tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    shared = gram_tables(sf)
+    bf_a = bigram_fluency(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    bf_b = (
+        bigram_fluency(sf, grams=shared)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(bf_a, bf_b)
+    co_a = collocations(sf).reset_index(drop=True)
+    co_b = collocations(sf, grams=shared).reset_index(drop=True)
+    pd.testing.assert_frame_equal(co_a, co_b)
