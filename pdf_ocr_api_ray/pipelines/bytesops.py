@@ -38,6 +38,20 @@ def _payload_ds(sf_dir: str):
     return ds.map_batches(to_bytes, batch_format="pyarrow")
 
 
+class _DigestSealClient:
+    """Default signing 'endpoint': keyed digest over (doc identity,
+    content fingerprint) — credential held in the client only."""
+
+    def __init__(self, credential: str):
+        self._credential = credential
+
+    def sign(self, ids, fps, timeout_s: float | None = None) -> list[str]:
+        return [
+            hashlib.md5(f"{self._credential}|{i}|{fp}".encode()).hexdigest()
+            for i, fp in zip(ids, fps)
+        ]
+
+
 class SealSigner:
     """electronicseal analogue (src/electronicseal/electronic-seal.js:
     119-130): a credential-holding ACTOR pool signs every document.
@@ -48,17 +62,25 @@ class SealSigner:
     fingerprint); the demo credential is fixed so the SQL oracle can
     countersign."""
 
-    def __init__(self, credential: str = "demo-credential"):
-        self._credential = credential  # held in actor state only
+    def __init__(self, credential: str = "demo-credential", client_factory=None, retry=None):
+        from ..stages.clients import RetryPolicy
+
+        # the signing client is built once per actor; a real TSP/HSM
+        # endpoint is a factory swap (stages/clients.py), not an edit
+        self._client = (
+            client_factory() if client_factory else _DigestSealClient(credential)
+        )
+        self._retry = retry or RetryPolicy()
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..stages.clients import call_with_retry
+
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
         fps = [hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts]
-        seals = [
-            hashlib.md5(f"{self._credential}|{i}|{fp}".encode()).hexdigest()
-            for i, fp in zip(ids, fps)
-        ]
+        seals = call_with_retry(
+            self._client.sign, self._retry, ids, fps, timeout_s=self._retry.timeout_s
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -68,14 +90,23 @@ class SealSigner:
         )
 
 
-def seal_documents(sf_dir: str, concurrency: int = 2):
+def seal_documents(
+    sf_dir: str, concurrency: int = 2, client_factory=None, retry=None
+):
     """Sign every document with the credential actor pool (stateful
     stage: secrets load once per actor in __init__, exactly like model
-    weights in the OCR stage)."""
+    weights in the OCR stage). ``client_factory`` / ``retry`` inject a
+    real signing endpoint + transient-failure policy per
+    stages/clients.py."""
     import ray.data as rd
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(SealSigner, concurrency=concurrency, batch_format="pyarrow")
+    return ds.map_batches(
+        SealSigner,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"client_factory": client_factory, "retry": retry},
+    )
 
 
 def protect_keystream(password: str, doc_id, n: int) -> bytes:

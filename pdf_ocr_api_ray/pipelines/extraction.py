@@ -43,11 +43,17 @@ def build_extraction(
     parse_num_cpus: float = 1,
     parse_num_gpus: float = 0,
     num_buckets: int = NUM_BUCKETS,
+    header_client_factory=None,
+    parse_retry=None,
 ) -> "ray.data.Dataset":
     """Compose the extraction DAG over an input Dataset of spans rows.
 
     Input rows must have unique ``doc_id`` (the identity; duplicate ids
     merge into one document, like replayed job ids in the reference).
+
+    ``header_client_factory`` / ``parse_retry`` inject a real header
+    extraction endpoint (the reference's OpenAI client) + its
+    retry/timeout policy into the parse stage per stages/clients.py.
     """
     depara = depara or default_depara()
 
@@ -61,7 +67,9 @@ def build_extraction(
         # run — measured ~8s/22s of the sf0.1 bench. A REAL model-backed
         # OCR stage (weights loaded in __init__) should pass
         # parse_concurrency=N to get the actor pool.
-        parser = ChunkParser(depara)
+        parser = ChunkParser(
+            depara, header_client_factory=header_client_factory, retry=parse_retry
+        )
 
         def parse_chunks(t):
             return parser(t)
@@ -85,7 +93,11 @@ def build_extraction(
             remote_args["num_gpus"] = parse_num_gpus
         parsed = chunks.map_batches(
             ChunkParser,
-            fn_constructor_kwargs={"depara": depara},
+            fn_constructor_kwargs={
+                "depara": depara,
+                "header_client_factory": header_client_factory,
+                "retry": parse_retry,
+            },
             batch_format="pyarrow",
             batch_size=parse_batch_size,
             concurrency=parse_concurrency,

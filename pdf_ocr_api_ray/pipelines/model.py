@@ -86,19 +86,47 @@ def score_frame(df: pd.DataFrame, weights) -> pd.DataFrame:
     )
 
 
-class QualityModel:
-    """Callable-class stage for ``map_batches``: weights in
-    ``__init__`` (once per actor), vectorized scoring in ``__call__``."""
+class DefaultQualityClient:
+    """The stand-in 'model endpoint': checkpoint load at construction,
+    vectorized scoring per call. A real serving client implements the
+    same two-method surface (construct once, ``score(df, timeout_s=)``
+    per batch) — see stages/clients.py for the injection contract."""
 
     def __init__(self):
         self.weights = _load_weights()
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def score(self, df: pd.DataFrame, timeout_s: float | None = None) -> pd.DataFrame:
         return score_frame(df, self.weights)
 
 
+class QualityModel:
+    """Callable-class stage for ``map_batches``: the scoring client is
+    built in ``__init__`` (once per actor — the reference's
+    once-per-process client, processJob.js:12-17) from an injectable
+    factory, and every batch call runs under the stage's RetryPolicy
+    (stages/clients.py). Swapping in a real model endpoint is a
+    factory argument, not an engine edit."""
+
+    def __init__(self, client_factory=None, retry=None):
+        from ..stages.clients import RetryPolicy
+
+        self.client = (client_factory or DefaultQualityClient)()
+        self.retry = retry or RetryPolicy()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.clients import call_with_retry
+
+        return call_with_retry(
+            self.client.score, self.retry, df, timeout_s=self.retry.timeout_s
+        )
+
+
 def neural_quality_score(
-    sf_dir: str, concurrency: int | None = None, batch_size: int = 512
+    sf_dir: str,
+    concurrency: int | None = None,
+    batch_size: int = 512,
+    client_factory=None,
+    retry=None,
 ):
     """Score every document with the (stand-in) learned quality model
     on an actor pool. Output: ``(doc_id, model_score, keep)``.
@@ -121,4 +149,7 @@ def neural_quality_score(
         batch_format="pandas",
         concurrency=(1, concurrency),
         batch_size=batch_size,
+        # client + retry/timeout config ride the actor constructor —
+        # the injection point for a real model endpoint
+        fn_constructor_kwargs={"client_factory": client_factory, "retry": retry},
     )

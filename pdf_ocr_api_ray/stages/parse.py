@@ -79,15 +79,37 @@ def compress_norm(norm: str) -> str:
     return norm[:_COMP_EDGE] + "\x00" + norm[-_COMP_EDGE:]
 
 
+class DefaultHeaderClient:
+    """The deterministic stand-in for the reference's OpenAI header
+    extractor (gpt/extractHeader.js:7-9 builds the client once per
+    process; :23 caps the prompt at 8,000 chars — the cap lives in
+    extract_header). A real LLM endpoint implements the same surface:
+    construct once, ``extract(text, depara, timeout_s=) -> header
+    dict | None`` per chunk-0."""
+
+    def extract(self, text: str, depara: dict, timeout_s: float | None = None):
+        return extract_header(text, depara)
+
+
 class ChunkParser:
     """Callable actor: chunk rows → parsed rows. Dimension tables and any
     model/client state are built once per actor (the reference's
-    module-level singleton clients, processJob.js:12-17)."""
+    module-level singleton clients, processJob.js:12-17). The header
+    extractor — the stage's external-model call — is injected via
+    ``header_client_factory`` + ``retry`` (stages/clients.py): a real
+    GPT/OCR endpoint with timeouts is a constructor kwarg through
+    ``fn_constructor_kwargs``, never an engine edit."""
 
-    def __init__(self, depara: dict):
+    def __init__(self, depara: dict, header_client_factory=None, retry=None):
+        from .clients import RetryPolicy
+
         self.depara = depara
+        self.header_client = (header_client_factory or DefaultHeaderClient)()
+        self.retry = retry or RetryPolicy()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .clients import call_with_retry
+
         rows = batch.to_pylist()
         out = []
         for row in rows:
@@ -97,7 +119,13 @@ class ChunkParser:
             norm = normalize_alnum(text)
             header = None
             if row["chunk_idx"] == 0:
-                header = extract_header(text, self.depara)
+                header = call_with_retry(
+                    self.header_client.extract,
+                    self.retry,
+                    text,
+                    self.depara,
+                    timeout_s=self.retry.timeout_s,
+                )
             out.append(
                 {
                     "doc_id": row["doc_id"],
