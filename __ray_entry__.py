@@ -904,11 +904,17 @@ _RELATIONAL_ORACLES = {
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         """,
+        # media_features really parses a mixed PPM/BMP binary column;
+        # the twin reproduces the synth derivations, so any decoder bug
+        # (BMP row padding, BGR order, bottom-up flip) breaks parity
         "media_features": """
-            SELECT doc_id,
-                   640 + (n_chars % 1280) AS width,
-                   360 + (doc_id % 720) AS height,
-                   1 + (doc_id % 24) AS n_frames
+            SELECT doc_id, TRUE AS ok,
+                   CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+                   CAST(32 + (n_chars % 97) AS BIGINT) AS width,
+                   CAST(16 + (doc_id % 53) AS BIGINT) AS height,
+                   CAST((doc_id * 7) % 256 AS BIGINT) AS mean_r,
+                   CAST((doc_id * 13) % 256 AS BIGINT) AS mean_g,
+                   CAST((n_chars * 31) % 256 AS BIGINT) AS mean_b
             FROM documents
         """,
         "media_frame_sample": """

@@ -1,18 +1,21 @@
 """Multimodal column plumbing (image/audio treated as opaque binary +
-typed metadata): a STUBBED decode stage for codec-requiring formats
-plus a REAL pure-numpy PPM (P6) decode path.
+typed metadata): REAL pure-numpy decode paths for TWO uncompressed
+image formats (PPM P6 and 24-bit BI_RGB BMP, magic-dispatched) plus a
+STUBBED decode stage for codec-requiring formats.
 
 The container has no image/audio codec libraries, so ``MediaDecoder``
-is a deterministic fake (clearly marked) standing in for PIL/ffmpeg —
-the Ray-side plumbing (actor-pool stage, schema, batch sizing for
-large binary payloads) is real and tested. For UNCOMPRESSED formats
-no codec is needed: ``decode_ppm``/``PpmDecoder``/``media_decode_ppm``
-genuinely parse binary image payloads (magic + comment-tolerant header
-scan + payload validation), extract pixel features, and resize —
-bytes in, scalars out, malformed rows quarantined. A production
-deployment adds codecs next to the PPM branch without touching the
-pipeline shape (cf. reference's by-reference assets,
-src/externalstorage/*).
+(the frame-count path, genuinely video-codec territory) remains a
+deterministic fake (clearly marked) standing in for PIL/ffmpeg — the
+Ray-side plumbing (actor-pool stage, schema, batch sizing for large
+binary payloads) is real and tested. For UNCOMPRESSED formats no
+codec is needed: ``decode_ppm`` / ``decode_bmp`` / ``decode_image``
+genuinely parse binary image payloads (magic check, header
+validation, BMP row padding / BGR / bottom-up handling, payload
+length checks), and ``media_features`` / ``media_decode_ppm`` run
+them behind actor pools — bytes in, scalars out, malformed rows
+quarantined. A production deployment adds codec-backed branches next
+to the two real ones without touching the pipeline shape (cf.
+reference's by-reference assets, src/externalstorage/*).
 """
 
 from __future__ import annotations
@@ -95,16 +98,93 @@ def media_frame_sample(sf_dir: str, every_n: int = 6, target_w: int = 256):
     return decoded.map_batches(resize_and_sample, batch_format="pandas")
 
 
-def media_features(sf_dir: str):
-    """Decode-and-extract features over the corpus (documents rows stand
-    in for media rows: doc_id + payload-size metadata)."""
-    import ray.data as rd
+def synth_image_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic image payload for a corpus row (the testdata
+    ships no media bytes): the SAME derived constant-color image as
+    ``synth_ppm_payload``, encoded as PPM for even doc_ids and BMP for
+    odd ones — so the decode stage faces a MIXED-format binary column.
+    The decoder knows none of this; it dispatches on magic bytes."""
+    import numpy as np
 
+    w = 32 + (n_chars % 97)
+    h = 16 + (doc_id % 53)
+    rgb = np.array(
+        [(doc_id * 7) % 256, (doc_id * 13) % 256, (n_chars * 31) % 256],
+        dtype=np.uint8,
+    )
+    img = np.broadcast_to(rgb, (h, w, 3))
+    return encode_ppm(img) if doc_id % 2 == 0 else encode_bmp(img)
+
+
+class ImageDecoder:
+    """REAL actor-pool decode stage over a mixed-format binary column:
+    magic-dispatch parse (PPM / BMP, both pure numpy), per-channel
+    integer means, quarantine (ok = False) for malformed or
+    unsupported payloads — never a job failure."""
+
+    def __init__(self) -> None:
+        self.codec_ready = True  # stand-in for heavy codec init
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, payload in zip(df["doc_id"], df["payload"]):
+            try:
+                img, fmt = decode_image(payload)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "ok": True,
+                        "format": fmt,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_r": int(img[:, :, 0].mean()),
+                        "mean_g": int(img[:, :, 1].mean()),
+                        "mean_b": int(img[:, :, 2].mean()),
+                    }
+                )
+            except ValueError:
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "ok": False,
+                        "format": "",
+                        "width": 0,
+                        "height": 0,
+                        "mean_r": 0,
+                        "mean_g": 0,
+                        "mean_b": 0,
+                    }
+                )
+        out = pd.DataFrame(rows)
+        for c in ("width", "height", "mean_r", "mean_g", "mean_b"):
+            out[c] = out[c].astype("int64")
+        return out
+
+
+def media_features(sf_dir: str):
+    """Decode-and-extract features over a MIXED-format media column —
+    real bytes for BOTH formats (PPM + BMP, magic-dispatched), parsed
+    by the actor-pool stage; payloads exist only inside the stage
+    (bytes in → scalars out). The SQL twin reproduces the features
+    from the synth derivations, so any decoder bug (BMP row padding,
+    BGR order, bottom-up flip, PPM header scan) breaks parity."""
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
-    return ds.map_batches(
-        MediaDecoder,
+
+    def attach_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "payload": [
+                    synth_image_payload(int(d), int(n))
+                    for d, n in zip(df["doc_id"], df["n_chars"])
+                ],
+            }
+        )
+
+    return ds.map_batches(attach_payload, batch_format="pandas").map_batches(
+        ImageDecoder,
         batch_format="pandas",
-        batch_size=256,  # small batches: real payloads are MBs each
+        batch_size=128,  # small batches: real payloads are MBs each
         concurrency=(1, 4),
         num_cpus=1,
     )
@@ -166,6 +246,74 @@ def decode_ppm(data: bytes):
     if len(payload) != need:
         raise ValueError(f"payload {len(payload)} != {need}")
     return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB array → uncompressed 24-bit BI_RGB BMP
+    bytes — bottom-up row order, BGR channel order, rows padded to
+    4-byte multiples (the format's three classic traps, all real)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes):
+    """Uncompressed 24-bit BI_RGB BMP bytes → (h, w, 3) uint8 RGB
+    array. Real parsing: magic + header field validation, pixel-data
+    offset honored, per-row 4-byte padding stripped, bottom-up (or
+    top-down, negative height) row order undone, BGR→RGB. Raises
+    ValueError on any other BMP variant or malformed input."""
+    import struct
+
+    import numpy as np
+
+    if not data.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant planes={planes} bpp={bpp} comp={comp}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid dimensions {w}x{h}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    need = row_size * h
+    payload = data[offset : offset + need]
+    if len(payload) != need:
+        raise ValueError(f"payload {len(payload)} != {need}")
+    rows = np.frombuffer(payload, dtype=np.uint8).reshape(h, row_size)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_image(data: bytes):
+    """Magic-dispatch real decode: P6 → PPM, BM → BMP, anything else
+    raises (quarantined by the stage). Returns ((h, w, 3) RGB array,
+    format string). A production deployment adds codec-backed branches
+    here without touching the pipeline shape."""
+    if data[:2] == b"P6":
+        return decode_ppm(data), "ppm"
+    if data[:2] == b"BM":
+        return decode_bmp(data), "bmp"
+    raise ValueError("unsupported image format")
 
 
 def resize_nearest(img, target_w: int):

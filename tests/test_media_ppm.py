@@ -207,3 +207,81 @@ def test_media_phash_dup_equals_bruteforce(ray_session):
             assert 1 <= by_pair[(e, o)] <= 3
             n_perturbed_found += 1
     assert n_perturbed_found > 50  # the planted near-dups are found en masse
+
+
+# ---------- BMP (second real format) ----------
+
+
+def test_bmp_roundtrip_exercises_padding_and_flip():
+    """encode→decode identity across widths that hit every 4-byte row
+    padding residue (w*3 % 4 ∈ {0,1,2,3}) — the BMP traps (bottom-up
+    rows, BGR order, padded rows) must cancel exactly."""
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.media import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    for w in (4, 5, 6, 7):
+        img = rng.randint(0, 256, size=(9, w, 3), dtype=np.uint8)
+        back = decode_bmp(encode_bmp(img))
+        assert back.shape == img.shape
+        assert (back == img).all(), f"w={w}"
+
+
+def test_bmp_rejects_malformed_variants():
+    import numpy as np
+    import pytest
+
+    from pdf_ocr_api_ray.pipelines.media import decode_bmp, encode_bmp
+
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + good[2:])  # wrong magic
+    with pytest.raises(ValueError):
+        decode_bmp(good[:40])  # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(good[:-5])  # truncated payload
+    # compressed variant (biCompression=1) must be refused, not misread
+    bad_comp = bytearray(good)
+    bad_comp[30] = 1
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_comp))
+    # 32-bit variant refused
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 32
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_image_dispatches_on_magic():
+    import numpy as np
+    import pytest
+
+    from pdf_ocr_api_ray.pipelines.media import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    img = np.full((3, 5, 3), 17, dtype=np.uint8)
+    for enc, fmt in ((encode_ppm, "ppm"), (encode_bmp, "bmp")):
+        back, got_fmt = decode_image(enc(img))
+        assert got_fmt == fmt and (back == img).all()
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a not supported")
+
+
+def test_media_features_mixed_formats_real_decode(ray_session):
+    """media_features parses a MIXED PPM/BMP binary column: every row
+    decodes ok, the format split follows doc_id parity, and the means
+    equal the synth colors (pinning BGR→RGB and row-order handling —
+    a channel swap or flip would shift mean_r/mean_b)."""
+    from pdf_ocr_api_ray.pipelines.media import media_features
+
+    out = media_features("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    assert out["ok"].all()
+    even = out["doc_id"] % 2 == 0
+    assert (out.loc[even, "format"] == "ppm").all()
+    assert (out.loc[~even, "format"] == "bmp").all()
+    assert (out["mean_r"] == (out["doc_id"] * 7) % 256).all()
