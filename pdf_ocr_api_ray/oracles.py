@@ -1049,6 +1049,9 @@ def tfidf_terms_sql(k: int = 5) -> str:
     """tf-idf twin: same quantized integer score (tf·(2(N−df)+1)·1000
     // (2df+1)) and (score_q DESC, term ASC) ranking — every output
     column is an integer or string, so the driver hash is exact."""
+    from .pipelines.text import TFIDF_SCALE
+
+    assert TFIDF_SCALE == 1000, "twin is written for the engine default scale"
     return rf"""
         WITH tok AS (
             SELECT doc_id,

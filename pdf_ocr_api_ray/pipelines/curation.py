@@ -976,6 +976,22 @@ def bigram_fluency(
     is_tot = out["g"] == ""
     n_total = int(out.loc[is_tot, "c"].sum())
     rest = out[~is_tot]
+    # ASSERTED int64-headroom guard (previously documentation-only):
+    # every quantized term is bounded by the hottest gram's corpus
+    # count — c_b·scale on the hit route, c_w2·(λnum·scale) on the
+    # backoff route — so max_c·λnum·scale must fit int64. The capped
+    # table keeps the global max count (cap order is count DESC), so
+    # this driver-side check over ≤cap rows is exact and free. Past
+    # the bound (a ~10¹⁰⁺-token corpus) drop FLUENCY_SCALE to 10⁶ or
+    # widen to object/HUGEINT terms.
+    if len(rest):
+        max_c = int(rest["c"].max())
+        if max_c * SB_LAMBDA_NUM * FLUENCY_SCALE >= 2**63:
+            raise OverflowError(
+                f"bigram_fluency int64 headroom exceeded: max gram count "
+                f"{max_c} x {SB_LAMBDA_NUM} x FLUENCY_SCALE {FLUENCY_SCALE} "
+                f">= 2^63 — reduce FLUENCY_SCALE or widen the term type"
+            )
     is_big = rest["g"].str.contains(" ", regex=False)
 
     def sorted_ref(pdf: pd.DataFrame):
@@ -1062,7 +1078,7 @@ PMI_SCALE = 10**6
 
 def collocations(
     sf_dir: str, k: int = 100, min_count: int = 5, num_buckets: int = 256,
-    grams=None,
+    grams=None, _scale: int | None = None,
 ):
     """Corpus-wide collocation extraction: the top-``k`` bigrams by
     (quantized, log-free) pointwise mutual information — the classic
@@ -1103,6 +1119,7 @@ def collocations(
         return pd.DataFrame({"n": [pc.sum(uni_c).as_py() or 0]})
 
     n_total = int(grams.map_batches(n_fold, batch_format="pyarrow").sum("n") or 0)
+    scale = PMI_SCALE if _scale is None else _scale  # _scale: test hook
 
     from .dedup import _stable64
 
@@ -1173,7 +1190,17 @@ def collocations(
         c_a = big["c_attached"].to_numpy(np.int64)  # from pass 1 (w1)
         c_b = attached.to_numpy(np.int64)  # this pass (w2)
         denom = np.maximum(c_a * c_b, 1)
-        score_q = c_ab * n_total * PMI_SCALE // denom
+        # ASSERTED int64-headroom guard (previously documentation-only):
+        # the score numerator c(ab)·N·scale must fit int64 — checked in
+        # exact Python ints so the check itself cannot overflow. Past
+        # the bound (a ~10¹¹-token corpus) drop the 10⁶ refinement.
+        if len(c_ab) and int(c_ab.max()) * n_total * scale >= 2**63:
+            raise OverflowError(
+                f"collocations int64 headroom exceeded: max c_ab "
+                f"{int(c_ab.max())} x N {n_total} x scale {scale} >= 2^63 "
+                f"— reduce PMI_SCALE or widen the score type"
+            )
+        score_q = c_ab * n_total * scale // denom
         return pd.DataFrame(
             {
                 "gram": big["g"].to_numpy(object),

@@ -842,7 +842,10 @@ def quality_percentile_by_lang(sf_dir: str):
     return ds.map_batches(transform, batch_format="pandas")
 
 
-def tfidf_terms(sf_dir: str, k: int = 5, num_buckets: int = 256):
+TFIDF_SCALE = 1000  # the score_q refinement factor (shared with the twin)
+
+
+def tfidf_terms(sf_dir: str, k: int = 5, num_buckets: int = 256, _scale: int | None = None):
     """Per-document characteristic-term extraction: the top-``k`` terms
     of each document by tf-idf — keyword profiling for search indexing
     and topic-drift monitoring. The idf is the engine's LOG-FREE
@@ -876,6 +879,7 @@ def tfidf_terms(sf_dir: str, k: int = 5, num_buckets: int = 256):
 
     from .dedup import _stable64
 
+    scale = TFIDF_SCALE if _scale is None else _scale  # _scale: test hook
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     n_docs = ds.count()
 
@@ -917,7 +921,18 @@ def tfidf_terms(sf_dir: str, k: int = 5, num_buckets: int = 256):
         # are globally unique: df(term) == the term's row count here
         dfreq = g.groupby("term")["term"].transform("size").to_numpy(np.int64)
         tf = g["tf"].to_numpy(np.int64)
-        score_q = tf * (2 * (n_docs - dfreq) + 1) * 1000 // (2 * dfreq + 1)
+        # ASSERTED int64-headroom guard (previously documentation-only):
+        # the score numerator tf·(2N+1)·scale must fit int64 — checked
+        # in exact Python ints so the check itself cannot overflow.
+        # Past the bound (a 10¹²-doc corpus) drop the ·1000 refinement
+        # or widen to the HUGEINT path.
+        if len(tf) and int(tf.max()) * (2 * n_docs + 1) * scale >= 2**63:
+            raise OverflowError(
+                f"tfidf_terms int64 headroom exceeded: max tf {int(tf.max())} "
+                f"x (2N+1={2 * n_docs + 1}) x scale {scale} >= 2^63 — "
+                f"reduce the score refinement or widen the score type"
+            )
+        score_q = tf * (2 * (n_docs - dfreq) + 1) * scale // (2 * dfreq + 1)
         out = pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(np.int64),

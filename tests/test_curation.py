@@ -628,3 +628,30 @@ def test_shared_gram_table_matches_standalone(ray_session):
     co_a = collocations(sf).reset_index(drop=True)
     co_b = collocations(sf, grams=shared).reset_index(drop=True)
     pd.testing.assert_frame_equal(co_a, co_b)
+
+
+def test_bigram_fluency_overflow_guard_raises(ray_session, monkeypatch):
+    """The int64-headroom cap is an asserted guard, not a docstring: a
+    FLUENCY_SCALE so large any gram count trips the bound must raise a
+    clear OverflowError instead of silently wrapping (the guard runs
+    driver-side on the bounded capped table, so monkeypatching the
+    module constant reaches it)."""
+    import pytest
+
+    from pdf_ocr_api_ray.pipelines import curation
+
+    monkeypatch.setattr(curation, "FLUENCY_SCALE", 2**62)
+    with pytest.raises(OverflowError, match="bigram_fluency int64 headroom"):
+        curation.bigram_fluency("/root/testdata/sf0.001")
+
+
+def test_collocations_overflow_guard_raises(ray_session):
+    """Same contract for the PMI quantizer — the guard runs inside the
+    distributed stage, so the scale override rides the closure."""
+    import pytest
+    import ray.exceptions
+
+    from pdf_ocr_api_ray.pipelines.curation import collocations
+
+    with pytest.raises(Exception, match="collocations int64 headroom"):
+        collocations("/root/testdata/sf0.001", _scale=2**62)

@@ -70,3 +70,15 @@ def test_k_and_tie_break(ray_session, tmp_path):
     g1 = got[got["doc_id"] == 1]
     assert list(g1["term"]) == ["aa", "mm"]
     assert list(g1["rank"]) == [1, 2]
+
+
+def test_tfidf_overflow_guard_raises(ray_session):
+    """The tf·(2N+1)·scale int64 cap is asserted, not documented-only:
+    a scale past the headroom must raise a clear OverflowError from
+    the scoring stage instead of silently wrapping."""
+    import pytest
+
+    from pdf_ocr_api_ray.pipelines.text import tfidf_terms
+
+    with pytest.raises(Exception, match="tfidf_terms int64 headroom"):
+        tfidf_terms("/root/testdata/sf0.001", _scale=2**62).to_pandas()
