@@ -174,7 +174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # orders_outside_segment → rotated_out_queries)
         "epoch_shuffle": sampling.epoch_shuffle,
         "token_familiarity": curation.token_familiarity,
-        "knn_graph": similarity.knn_graph,
+        # r5 FIFTEENTH rotation: the IVF-cell kNN-graph miner (same
+        # cell co-location scale path as hard_negatives_ann) takes the
+        # brute-force knn_graph row; the exact anchor moves to
+        # rotated_out_queries() as the recall baseline. Full-probe for
+        # the driver row (bit-equal to the twin on the isotropic
+        # corpus); pruned recall ≥ 0.95 pinned on planted clusters.
+        "knn_graph_ann": _knn_graph_ann_fullprobe,
         # r4 NINTH rotation (continued session): the four new ops built
         # this wave get driver rows; sessionize / ann_topk_lsh /
         # dedup_simhash / media_frame_sample (all driver-green for 3+
@@ -266,6 +272,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _knn_graph_ann_fullprobe(sf_dir: str):
+    """knn_graph_ann in its parity configuration (every IVF cell
+    probed → candidate set = full corpus minus self → bit-equal to the
+    brute-force twin); see _hard_negatives_ann_fullprobe."""
+    from pdf_ocr_api_ray.pipelines.similarity import IVF_CELLS, knn_graph_ann
+
+    return knn_graph_ann(sf_dir, n_probe_cells=IVF_CELLS)
+
+
 def _hard_negatives_ann_fullprobe(sf_dir: str):
     """hard_negatives_ann in its parity configuration: every IVF cell
     probed, so the candidate set is the full different-label corpus
@@ -313,11 +328,12 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "systematic_sample": events.systematic_sample,
         "union_parties": events.union_parties,
-        # r5 fourteenth rotation: the brute-force hard-negative anchor
-        # (corpus broadcast + O(N²) matmul — the exactness baseline the
-        # ANN miner's recall gate compares against) made room for
-        # hard_negatives_ann in the driver registry
+        # r5 fourteenth/fifteenth rotations: the two brute-force
+        # anchors (corpus broadcast + O(N²) matmul — the exactness
+        # baselines the ANN miners' recall gates compare against) made
+        # room for hard_negatives_ann / knn_graph_ann in the registry
         "hard_negatives": similarity.hard_negatives,
+        "knn_graph": similarity.knn_graph,
         "part_type_counts": relational.part_type_counts,
         "span_delete": spanops.delete_chunks,
         "span_reorder": spanops.reorder_chunks,
@@ -1200,9 +1216,22 @@ _RELATIONAL_ORACLES = {
                 FROM sims
             ) WHERE rank <= 5
         """,
-        # hard_negatives_ann's driver row runs full-probe (candidate
-        # set = whole different-label corpus), so the brute-force twin
-        # applies verbatim — same ulp-washed rank contract
+        # the ANN miners' driver rows run full-probe (candidate set =
+        # whole corpus minus self / different-label corpus), so the
+        # brute-force twins apply verbatim — same ulp-washed contract
+        "knn_graph_ann": """
+            WITH sims AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, rank, neighbor_id FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+                FROM sims
+            ) WHERE rank <= 5
+        """,
         "hard_negatives_ann": """
             WITH sims AS (
                 SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,

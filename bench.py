@@ -205,10 +205,15 @@ def run_bench() -> dict:
     )
     timeq("source_overlap", dedup.source_overlap, consume="count")
     timeq("hard_negatives", similarity.hard_negatives, consume="count")
-    # r5: the IVF-cell miner at its pruned (scale-path) configuration
+    # r5: the IVF-cell miners at their pruned (scale-path) configuration
     timeq(
         "hard_negatives_ann",
         lambda sf: similarity.hard_negatives_ann(sf, n_probe_cells=4),
+        consume="count",
+    )
+    timeq(
+        "knn_graph_ann",
+        lambda sf: similarity.knn_graph_ann(sf, n_probe_cells=4),
         consume="count",
     )
     timeq("tfidf_terms", text.tfidf_terms, consume="count")

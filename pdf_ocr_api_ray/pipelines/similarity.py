@@ -733,3 +733,103 @@ def hard_negatives_ann(
         )
 
     return partials.groupby("vec_id").map_groups(final_topk, batch_format="pandas")
+
+def knn_graph_ann(
+    sf_dir: str,
+    k: int = 5,
+    n_probe_cells: int = 4,
+    train: str = "sample",
+):
+    """The 10⁹-vector scale path for the exact kNN graph: for EVERY
+    vector, the top-``k`` cosine neighbors (self excluded) mined from
+    its ``n_probe_cells`` nearest IVF cells with exact re-ranking
+    within candidates — same cell co-location machinery as
+    ``hard_negatives_ann`` (ONE scan routes member+query rows, ONE
+    cell-keyed groupby scores disjoint candidate sets, ONE vec_id
+    groupby merges partials; shuffle volume (n_probe_cells + 1) × N,
+    never the brute-force anchor's corpus broadcast + O(N²) matmul).
+
+    Rank order is (round(sim, 9) DESC, neighbor_id ASC) — the shared
+    ulp-washed contract. With ``n_probe_cells = IVF_CELLS`` the
+    candidate set is the full corpus minus self and the output equals
+    the brute-force twin BIT-FOR-BIT (the driver parity
+    configuration); pruned-probe recall ≥ 0.95 vs the exact anchor is
+    pinned on planted-cluster corpora in tests/test_similarity.py."""
+    import ray  # noqa: F401
+
+    if train == "full":
+        cents = _kmeans_centroids_distributed(sf_dir, IVF_CELLS)
+    else:
+        sample = _smallest_by_vec_id(sf_dir, IVF_SAMPLE)
+        smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+        smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+        cents = _kmeans_centroids(smat, IVF_CELLS)
+    n_probe = min(n_probe_cells, IVF_CELLS)
+
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sims_c = vecs @ cents.T
+        home = np.argmax(sims_c, axis=1).astype(np.int64)
+        probe = np.argsort(-sims_c, axis=1, kind="stable")[:, :n_probe]
+        n = len(df)
+        emb = df["embedding"].to_numpy()
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "cell": np.concatenate([home, probe.ravel()]),
+                "role": np.repeat(np.array([0, 1], dtype=np.int64), [n, n * n_probe]),
+                "vec_id": np.concatenate([ids, np.repeat(ids, n_probe)]),
+                "embedding": np.concatenate([emb, np.repeat(emb, n_probe)]),
+            }
+        )
+
+    routed = ds.map_batches(route, batch_format="pandas")
+
+    def cell_topk(group: pd.DataFrame) -> pd.DataFrame:
+        members = group[group["role"] == 0]
+        queries = group[group["role"] == 1]
+        if not len(members) or not len(queries):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        mvec = np.stack(members["embedding"].to_numpy()).astype(np.float64)
+        mvec /= np.maximum(np.linalg.norm(mvec, axis=1, keepdims=True), 1e-30)
+        qvec = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+        qvec /= np.maximum(np.linalg.norm(qvec, axis=1, keepdims=True), 1e-30)
+        sims = np.round(qvec @ mvec.T, 9)  # the twin's round(sim, 9) key
+        qids = queries["vec_id"].to_numpy(dtype=np.int64)
+        mids = members["vec_id"].to_numpy(dtype=np.int64)
+        sims[qids[:, None] == mids[None, :]] = -np.inf  # self exclusion
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qvec)), part.shape[1])
+        cand_s = sims[rows, part.ravel()]
+        finite = np.isfinite(cand_s)
+        return pd.DataFrame(
+            {
+                "vec_id": qids[rows[finite]],
+                "neighbor_id": mids[part.ravel()[finite]],
+                "sim": cand_s[finite],
+            }
+        )
+
+    partials = routed.groupby("cell").map_groups(cell_topk, batch_format="pandas")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(dtype=np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("vec_id").map_groups(final_topk, batch_format="pandas")

@@ -340,3 +340,65 @@ def test_hard_negatives_ann_recall_on_planted_clusters(ray_session, tmp_path):
     hits = exact.merge(ann, on=["vec_id", "neg_id"], how="inner")
     recall = len(hits) / len(exact)
     assert recall >= 0.95, f"recall@5 {recall:.3f} < 0.95"
+
+
+def test_knn_graph_ann_fullprobe_equals_exact(ray_session):
+    """Full-probe kNN-graph mining must equal the brute-force anchor
+    BIT-FOR-BIT (same ulp-washed rank contract) — pins the cell
+    co-location machinery end to end."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.similarity import (
+        IVF_CELLS,
+        knn_graph,
+        knn_graph_ann,
+    )
+
+    exact = (
+        knn_graph(SF)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ann = (
+        knn_graph_ann(SF, n_probe_cells=IVF_CELLS)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, ann)
+
+
+def test_knn_graph_ann_recall_on_planted_clusters(ray_session, tmp_path):
+    """Pruned-probe recall gate on a clustered corpus (every vector's
+    true neighbors live in its own cluster): 4-of-16-cell probing must
+    recover ≥ 0.95 of the exact top-k pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.similarity import knn_graph, knn_graph_ann
+
+    rng = np.random.RandomState(13)
+    dim, n_clusters, per = 64, 8, 40
+    centers = np.zeros((n_clusters, dim))
+    for c in range(n_clusters):
+        centers[c, c * 8 : c * 8 + 8] = 3.0
+    vecs = np.vstack(
+        [centers[c][None, :] + rng.standard_normal((per, dim)) * 0.3 for c in range(n_clusters)]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64) + 1),
+            "embedding": pa.array(
+                list(vecs.astype(np.float32)), type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    exact = knn_graph(str(tmp_path), k=5).to_pandas()
+    ann = knn_graph_ann(str(tmp_path), k=5, n_probe_cells=4).to_pandas()
+    hits = exact.merge(ann, on=["vec_id", "neighbor_id"], how="inner")
+    recall = len(hits) / len(exact)
+    assert recall >= 0.95, f"recall@5 {recall:.3f} < 0.95"
