@@ -60,6 +60,40 @@ def get_text_from_cell(doc_text: str, cell: dict) -> str | None:
     return (doc_text or "")[start:end].strip() or None
 
 
+def get_text_from_cell_multiseg(doc_text: str, segments: list[dict]) -> str:
+    """The reference's DEBUG-path anchor resolution
+    (test-documentai.js:17-31): join text for ALL textSegments — not
+    just segment 0 like the live path (parseServices.js:9-12 /
+    ``get_text_from_cell``) — then collapse runs of whitespace to one
+    space and trim. Exposed as a library scalar for parity with the
+    reference's full surface; the live pipeline keeps the
+    segment-0-only behavior on purpose (SURVEY §2.2).
+
+    Faithful to the JS semantics: a missing ``start`` is 0
+    (``seg.startIndex || 0``) and the slice follows
+    ``String.prototype.substring`` — negative/NaN clamp to 0, and a
+    start greater than end SWAPS the two (a missing ``end`` therefore
+    yields ``text[0:start]``)."""
+    text = doc_text or ""
+    n = len(text)
+
+    def clamp(v) -> int:
+        try:
+            i = int(v)
+        except (TypeError, ValueError):
+            return 0
+        return min(max(i, 0), n)
+
+    parts = []
+    for seg in segments or []:
+        start = clamp(seg.get("start") or 0)
+        end = clamp(seg.get("end") if seg.get("end") is not None else 0)
+        if start > end:  # substring() swap semantics
+            start, end = end, start
+        parts.append(text[start:end])
+    return re.sub(r"\s+", " ", "".join(parts)).strip()
+
+
 def guess_service_columns(header_cells: list[str | None]) -> dict:
     headers = [normalize_header(h or "") for h in header_cells]
 

@@ -457,3 +457,38 @@ def test_model_stage_modes_identical(ray_session):
     )
     assert len(a) > 0 and a["feature_checksum"].abs().sum() > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------- multi-segment text-anchor resolution (debug path) ----------
+
+
+def test_multiseg_anchor_joins_all_segments():
+    """test-documentai.js:17-31 joins EVERY textSegment then collapses
+    whitespace — unlike the live path's segment-0-only rule."""
+    from pdf_ocr_api_ray.functions.services import (
+        get_text_from_cell,
+        get_text_from_cell_multiseg,
+    )
+
+    text = "ITEM  01\nCONCRETO   ARMADO\tM3  12,5"
+    # segments join with NO separator (JS .join("")); the second one
+    # starts at the newline, which the whitespace collapse then folds
+    segs = [{"start": 0, "end": 8}, {"start": 8, "end": 26}]
+    assert get_text_from_cell_multiseg(text, segs) == "ITEM 01 CONCRETO ARMADO"
+    # the live path reads only segment 0 (and does not collapse runs)
+    assert get_text_from_cell(text, segs[0]) == "ITEM  01"
+
+
+def test_multiseg_anchor_js_edge_semantics():
+    """Pins the JS quirks the debug path inherits: missing startIndex
+    → 0 (seg.startIndex || 0), missing endIndex → substring swap
+    (text[0:start]), out-of-range clamped, empty list → ''."""
+    from pdf_ocr_api_ray.functions.services import get_text_from_cell_multiseg
+
+    text = "abcdef"
+    assert get_text_from_cell_multiseg(text, [{"end": 3}]) == "abc"
+    # substring(2, NaN) → substring(0, 2) in JS
+    assert get_text_from_cell_multiseg(text, [{"start": 2}]) == "ab"
+    assert get_text_from_cell_multiseg(text, [{"start": 1, "end": 99}]) == "bcdef"
+    assert get_text_from_cell_multiseg(text, []) == ""
+    assert get_text_from_cell_multiseg(None, [{"start": 0, "end": 3}]) == ""
