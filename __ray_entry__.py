@@ -425,6 +425,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "media_frame_sample": media.media_frame_sample,
+        # r5: real WAV/PCM16 audio decode (RIFF chunk walk, fmt
+        # validation) — the audio analogue of media_features
+        "media_audio_features": media.media_audio_features,
     }
 
 

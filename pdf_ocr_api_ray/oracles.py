@@ -760,6 +760,37 @@ def media_decode_ppm_sql(target_w: int = 64) -> str:
         FROM rs"""
 
 
+def media_audio_features_sql() -> str:
+    """Audio-feature twin: replays the triangle-wave synth arithmetic
+    (length/period/amplitude/rate from row scalars) in exact integer
+    SQL — a WAV parser bug (chunk alignment, channel reshape, byte
+    order) breaks parity."""
+    return """
+        WITH p AS (
+            SELECT doc_id,
+                   64 + (n_chars % 257) AS n,
+                   8 + (doc_id % 13) AS period,
+                   100 + (doc_id % 900) AS amp,
+                   8000 + 1000 * (doc_id % 5) AS rate
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n, period, amp, rate, unnest(range(n)) AS i FROM p
+        ), t AS (
+            SELECT doc_id, n, amp, rate,
+                   CASE WHEN (i % period) * 2 < period
+                        THEN i % period ELSE period - (i % period) END AS tri
+            FROM s
+        )
+        SELECT doc_id, TRUE AS ok,
+               CAST(max(n) AS BIGINT) AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(max(rate) AS BIGINT) AS sample_rate,
+               CAST(max(n) * 1000 // max(rate) AS BIGINT) AS duration_ms,
+               CAST(max(tri * amp) AS BIGINT) AS peak,
+               CAST(sum(tri * amp) AS BIGINT) AS abs_sum
+        FROM t GROUP BY doc_id"""
+
+
 def range_join_events_sql(window_s: int = 3600) -> str:
     """Correlated trailing-window count — the range join's twin."""
     return f"""
@@ -1228,6 +1259,8 @@ def corpus_oracles() -> dict[str, str]:
         "group_topk": group_topk_sql(),
         "pack_sequences": pack_sequences_sql(),
         "media_decode_ppm": media_decode_ppm_sql(),
+        # r5 real WAV/PCM16 audio decode (rotated_out gate)
+        "media_audio_features": media_audio_features_sql(),
         "range_join_events": range_join_events_sql(),
         # r4 curation additions (pipelines/curation.py + merge_paginated)
         "dedup_segments": dedup_segments_sql(),

@@ -285,3 +285,100 @@ def test_media_features_mixed_formats_real_decode(ray_session):
     assert (out.loc[even, "format"] == "ppm").all()
     assert (out.loc[~even, "format"] == "bmp").all()
     assert (out["mean_r"] == (out["doc_id"] * 7) % 256).all()
+
+
+# ---------- WAV (third real format: RIFF PCM16 audio) ----------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.media import decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    for ch in (1, 2):
+        a = rng.randint(-(2**15), 2**15, size=(101, ch)).astype(np.int16)
+        back, rate = decode_wav(encode_wav(a, sample_rate=22050))
+        assert rate == 22050
+        assert back.shape == a.shape and (back == a).all()
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """Real RIFF files carry LIST/INFO chunks before data — the parser
+    must skip unknown chunks (word-aligned) and still find fmt+data."""
+    import struct
+
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.media import decode_wav, encode_wav
+
+    a = np.arange(7, dtype=np.int16)[:, None]
+    raw = encode_wav(a, sample_rate=8000)
+    # splice an odd-sized junk chunk (tests word alignment) after fmt
+    head, data_chunk = raw[:36], raw[36:]
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = head[:12] + head[12:36] + junk + data_chunk
+    # fix RIFF size
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    back, rate = decode_wav(spliced)
+    assert rate == 8000 and (back == a).all()
+
+
+def test_wav_rejects_malformed_variants():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pdf_ocr_api_ray.pipelines.media import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros((10, 1), dtype=np.int16))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + good[4:])  # wrong magic
+    with pytest.raises(ValueError):
+        decode_wav(good[:-3])  # truncated data chunk
+    # non-PCM format code refused
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)  # IEEE float
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+    # 8-bit refused
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 34, 8)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_media_audio_features_real_parse(ray_session):
+    """The audio pipeline really parses the RIFF bytes: every row ok,
+    features match the synth arithmetic recomputed straight-line."""
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.media import media_audio_features
+
+    out = (
+        media_audio_features("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) == 500 and out["ok"].all()
+    d = out["doc_id"].to_numpy()
+    assert (out["sample_rate"] == 8000 + 1000 * (d % 5)).all()
+    assert (out["channels"] == 1).all()
+    # spot-check one doc's peak/abs_sum against straight-line numpy
+    row = out.iloc[7]
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas().set_index("doc_id")
+    n_chars = int(docs.loc[row["doc_id"], "n_chars"])
+    n = 64 + (n_chars % 257)
+    period = 8 + (int(row["doc_id"]) % 13)
+    amp = 100 + (int(row["doc_id"]) % 900)
+    i = np.arange(n)
+    phase = i % period
+    tri = np.where(phase * 2 < period, phase, period - phase)
+    assert row["n_samples"] == n
+    assert row["peak"] == (tri * amp).max()
+    assert row["abs_sum"] == (tri * amp).sum()
