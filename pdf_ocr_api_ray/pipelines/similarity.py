@@ -604,6 +604,7 @@ def hard_negatives_ann(
     k: int = 5,
     n_probe_cells: int = 4,
     train: str = "sample",
+    cell_shards: int = 1,
 ):
     """The 10⁹-vector scale path for hard-negative mining: for EVERY
     vector, the top-``k`` most cosine-similar vectors with a DIFFERENT
@@ -634,7 +635,18 @@ def hard_negatives_ann(
     configuration: the registry corpus is isotropic noise, where
     pruned probing has no planted structure to find); the pruned
     default's recall vs the exact anchor is pinned ≥ 0.95 on
-    planted-cluster corpora in tests/test_similarity.py."""
+    planted-cluster corpora in tests/test_similarity.py.
+
+    ``cell_shards`` is the HOT-CELL skew lever: a skewed embedding
+    distribution can pile most of the corpus into one k-means cell,
+    making that one group O(|cell| × queries-probing-it). With
+    ``cell_shards = s`` each member lands in exactly one of the cell's
+    ``s`` shards (by vec_id hash) and each query replicates to all
+    ``s`` shards of its probed cells — candidate sets still partition
+    (no pair scored twice), the output is BIT-IDENTICAL (pinned in
+    pytest), the largest group shrinks ×s, and the price is s× more
+    query-side rows. The default 1 fits balanced quantizers; raise it
+    when cell-size telemetry shows skew."""
     import ray  # noqa: F401  (parity with sibling ops' import shape)
 
     if train == "full":
@@ -645,6 +657,7 @@ def hard_negatives_ann(
         smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
         cents = _kmeans_centroids(smat, IVF_CELLS)
     n_probe = min(n_probe_cells, IVF_CELLS)
+    shards = max(1, int(cell_shards))
 
     ds = read_parquet_clean(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
@@ -659,26 +672,26 @@ def hard_negatives_ann(
         # argsort is stable on the negated sims)
         probe = np.argsort(-sims_c, axis=1, kind="stable")[:, :n_probe]
         n = len(df)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        labels = df["label"].to_numpy(dtype=np.int64)
         emb = df["embedding"].to_numpy()
+        # member key: one shard per vector; query keys: every shard of
+        # every probed cell (rep = n_probe × shards rows per query)
+        mkey = home * shards + ids % shards
+        qkey = (
+            probe[:, :, None] * shards
+            + np.arange(shards, dtype=np.int64)[None, None, :]
+        ).reshape(n, -1)
+        rep = n_probe * shards
         out = pd.DataFrame(
             {
-                "cell": np.concatenate([home, probe.ravel()]),
+                "cell": np.concatenate([mkey, qkey.ravel()]),
                 "role": np.repeat(
-                    np.array([0, 1], dtype=np.int64), [n, n * n_probe]
+                    np.array([0, 1], dtype=np.int64), [n, n * rep]
                 ),
-                "vec_id": np.concatenate(
-                    [
-                        df["vec_id"].to_numpy(dtype=np.int64),
-                        np.repeat(df["vec_id"].to_numpy(dtype=np.int64), n_probe),
-                    ]
-                ),
-                "label": np.concatenate(
-                    [
-                        df["label"].to_numpy(dtype=np.int64),
-                        np.repeat(df["label"].to_numpy(dtype=np.int64), n_probe),
-                    ]
-                ),
-                "embedding": np.concatenate([emb, np.repeat(emb, n_probe)]),
+                "vec_id": np.concatenate([ids, np.repeat(ids, rep)]),
+                "label": np.concatenate([labels, np.repeat(labels, rep)]),
+                "embedding": np.concatenate([emb, np.repeat(emb, rep)]),
             }
         )
         return out
@@ -739,6 +752,7 @@ def knn_graph_ann(
     k: int = 5,
     n_probe_cells: int = 4,
     train: str = "sample",
+    cell_shards: int = 1,
 ):
     """The 10⁹-vector scale path for the exact kNN graph: for EVERY
     vector, the top-``k`` cosine neighbors (self excluded) mined from
@@ -754,7 +768,10 @@ def knn_graph_ann(
     candidate set is the full corpus minus self and the output equals
     the brute-force twin BIT-FOR-BIT (the driver parity
     configuration); pruned-probe recall ≥ 0.95 vs the exact anchor is
-    pinned on planted-cluster corpora in tests/test_similarity.py."""
+    pinned on planted-cluster corpora in tests/test_similarity.py.
+    ``cell_shards`` is the hot-cell skew lever shared with
+    ``hard_negatives_ann`` (members shard by vec_id hash, queries
+    replicate per shard; output bit-identical, largest group ÷ s)."""
     import ray  # noqa: F401
 
     if train == "full":
@@ -765,6 +782,7 @@ def knn_graph_ann(
         smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
         cents = _kmeans_centroids(smat, IVF_CELLS)
     n_probe = min(n_probe_cells, IVF_CELLS)
+    shards = max(1, int(cell_shards))
 
     ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
@@ -777,12 +795,18 @@ def knn_graph_ann(
         n = len(df)
         emb = df["embedding"].to_numpy()
         ids = df["vec_id"].to_numpy(dtype=np.int64)
+        mkey = home * shards + ids % shards
+        qkey = (
+            probe[:, :, None] * shards
+            + np.arange(shards, dtype=np.int64)[None, None, :]
+        ).reshape(n, -1)
+        rep = n_probe * shards
         return pd.DataFrame(
             {
-                "cell": np.concatenate([home, probe.ravel()]),
-                "role": np.repeat(np.array([0, 1], dtype=np.int64), [n, n * n_probe]),
-                "vec_id": np.concatenate([ids, np.repeat(ids, n_probe)]),
-                "embedding": np.concatenate([emb, np.repeat(emb, n_probe)]),
+                "cell": np.concatenate([mkey, qkey.ravel()]),
+                "role": np.repeat(np.array([0, 1], dtype=np.int64), [n, n * rep]),
+                "vec_id": np.concatenate([ids, np.repeat(ids, rep)]),
+                "embedding": np.concatenate([emb, np.repeat(emb, rep)]),
             }
         )
 

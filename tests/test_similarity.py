@@ -402,3 +402,28 @@ def test_knn_graph_ann_recall_on_planted_clusters(ray_session, tmp_path):
     hits = exact.merge(ann, on=["vec_id", "neighbor_id"], how="inner")
     recall = len(hits) / len(exact)
     assert recall >= 0.95, f"recall@5 {recall:.3f} < 0.95"
+
+
+def test_ann_miners_cell_sharding_bit_identical(ray_session):
+    """The hot-cell skew lever must be invisible in the output: with
+    cell_shards=3, members partition across shards and queries visit
+    every shard, so both miners' results are bit-identical to the
+    unsharded run — at full probe AND pruned."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.similarity import (
+        IVF_CELLS,
+        hard_negatives_ann,
+        knn_graph_ann,
+    )
+
+    def canon(ds):
+        return ds.to_pandas().sort_values(
+            ["vec_id", "rank"], ignore_index=True
+        )
+
+    for fn in (hard_negatives_ann, knn_graph_ann):
+        for probes in (4, IVF_CELLS):
+            a = canon(fn(SF, n_probe_cells=probes, cell_shards=1))
+            b = canon(fn(SF, n_probe_cells=probes, cell_shards=3))
+            pd.testing.assert_frame_equal(a, b)
