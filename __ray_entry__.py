@@ -428,6 +428,12 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # r5: real WAV/PCM16 audio decode (RIFF chunk walk, fmt
         # validation) — the audio analogue of media_features
         "media_audio_features": media.media_audio_features,
+        # r5: shortest-first curriculum training order with exact
+        # global ordinals (stage + in-stage md5 shuffle)
+        "curriculum_order": sampling.curriculum_order,
+        # r5: per-user view→click→purchase funnel conversions within a
+        # trailing window (three searchsorted probes per purchase)
+        "funnel_conversions": events.funnel_conversions,
     }
 
 
@@ -502,6 +508,8 @@ from pdf_ocr_api_ray.pipelines.events import (  # noqa: E402
     ANOMALY_FACTOR_DEN as _ANOM_DEN,
     ANOMALY_FACTOR_NUM as _ANOM_NUM,
     DEBOUNCE_GAP_S as _DEBOUNCE_GAP_S,
+    FUNNEL_STEPS as _FUNNEL_STEPS,
+    FUNNEL_WINDOW_S as _FUNNEL_WINDOW_S,
     TRIMMED_STATS_TRIM_PCT as _TRIM_PCT,
 )
 
@@ -636,6 +644,32 @@ _RELATIONAL_ORACLES = {
                    round(CAST(sum(v) AS DOUBLE) / 1000000.0 / count(*), 4)
                      AS trimmed_mean
             FROM kept GROUP BY event_type
+        """,
+        "funnel_conversions": f"""
+            -- purchase converts when EXISTS view < click < purchase,
+            -- all strictly inside the trailing window — the engine's
+            -- searchsorted probes replay this with the same strict
+            -- inequalities
+            WITH pur AS (
+                SELECT user_id, ts FROM events
+                WHERE event_type = '{_FUNNEL_STEPS[2]}'
+            ), conv AS (
+                SELECT p.user_id,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM events c, events v
+                           WHERE c.user_id = p.user_id
+                             AND v.user_id = p.user_id
+                             AND c.event_type = '{_FUNNEL_STEPS[1]}'
+                             AND v.event_type = '{_FUNNEL_STEPS[0]}'
+                             AND v.ts > p.ts - INTERVAL {_FUNNEL_WINDOW_S} SECOND
+                             AND v.ts < c.ts AND c.ts < p.ts
+                       ) THEN 1 ELSE 0 END AS conv
+                FROM pur p
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(conv) AS BIGINT) AS n_converted
+            FROM conv GROUP BY user_id
         """,
         "anomaly_days": f"""
             -- spike: 7·n·den > num·prev7 with prev7 > 0, prev7 over
@@ -1158,6 +1192,17 @@ _RELATIONAL_ORACLES = {
             SELECT doc_id,
                    CAST(row_number() OVER (
                         ORDER BY md5('epoch|1|' || CAST(doc_id AS VARCHAR))
+                   ) - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
+        # r5: two-level curriculum order (stage ASC, md5 draw) — the
+        # Ray side uses (stages × 256) offset cells + in-cell sorts
+        "curriculum_order": """
+            SELECT doc_id,
+                   CAST(n_chars // 100 AS BIGINT) AS stage,
+                   CAST(row_number() OVER (
+                        ORDER BY n_chars // 100,
+                                 md5('curr|1|' || CAST(doc_id AS VARCHAR))
                    ) - 1 AS BIGINT) AS pos
             FROM documents
         """,

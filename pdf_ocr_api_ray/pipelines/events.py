@@ -1134,3 +1134,92 @@ def trimmed_stats(sf_dir: str, trim_pct: int = TRIMMED_STATS_TRIM_PCT):
     return pd.DataFrame(
         rows, columns=["event_type", "n_events", "n_trimmed", "trimmed_mean"]
     ).astype({"n_events": "int64", "n_trimmed": "int64"})
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 3600
+
+
+def funnel_conversions(
+    sf_dir: str,
+    steps: tuple = FUNNEL_STEPS,
+    window_s: int = FUNNEL_WINDOW_S,
+):
+    """Per-user three-step funnel conversion — the product-analytics
+    query behind every acquisition dashboard: a ``purchase`` at time
+    ``t`` CONVERTS when some ``click`` happened strictly before it and
+    some ``view`` strictly before that click, all strictly inside the
+    trailing window ``(t - window_s, t)``. Output per user with ≥1
+    purchase: ``(user_id, n_purchases, n_converted)``.
+
+    The existence test is order-monotone, so it vectorizes exactly:
+    for each purchase, the EARLIEST view after ``t - window_s``
+    maximizes click availability — converted ⟺ some click lies in
+    ``(that view, t)``. Three ``searchsorted`` probes per purchase
+    against the user's sorted view/click time arrays replace the SQL
+    twin's correlated EXISTS; strict inequalities match the twin's
+    ``>`` / ``<`` everywhere.
+
+    Scale shape: ONE user-hash exchange (two users never share a
+    bucket's per-user arrays), per-bucket vectorized numpy — no
+    per-user Python loops over events, no driver state; the step
+    filter prunes every other event type at the read."""
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    s_view, s_click, s_buy = steps
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin([s_view, s_click, s_buy])].copy()
+        df["ub"] = (df["user_id"].to_numpy() % NUM_KEY_BUCKETS).astype(np.int32)
+        return df
+
+    win_us = np.int64(window_s) * 1_000_000
+
+    def funnel_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        kinds = g["event_type"].to_numpy()
+        out_u, out_n, out_c = [], [], []
+        for u in np.unique(users):
+            m = users == u
+            t_u, k_u = ts[m], kinds[m]
+            buys = t_u[k_u == s_buy]
+            if not len(buys):
+                continue
+            views = t_u[k_u == s_view]
+            clicks = t_u[k_u == s_click]
+            conv = np.zeros(len(buys), dtype=bool)
+            if len(views) and len(clicks):
+                # earliest view STRICTLY after t - window
+                vi = np.searchsorted(views, buys - win_us, side="right")
+                has_v = vi < len(views)
+                v1 = views[np.minimum(vi, len(views) - 1)]
+                # any click STRICTLY after that view and before t
+                ci = np.searchsorted(clicks, v1, side="right")
+                has_c = ci < len(clicks)
+                c1 = clicks[np.minimum(ci, len(clicks) - 1)]
+                conv = has_v & has_c & (c1 < buys)
+            out_u.append(np.full(1, u))
+            out_n.append(np.array([len(buys)], dtype=np.int64))
+            out_c.append(np.array([int(conv.sum())], dtype=np.int64))
+        if not out_u:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                    "n_converted": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_u),
+                "n_purchases": np.concatenate(out_n),
+                "n_converted": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(funnel_bucket, batch_format="pandas")
+    )

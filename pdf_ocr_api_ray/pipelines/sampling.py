@@ -430,3 +430,90 @@ def split_corpus(
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+_CURR_SALT = "curr"
+
+
+def curriculum_order(sf_dir: str, seed: int = 1, stage_width: int = 100):
+    """Curriculum training order: every document gets an exact global
+    ordinal ``pos`` under (difficulty stage ASC, epoch-style md5 draw)
+    — the shortest-first curriculum a loader consumes (Bengio et al.
+    2009), with documents SHUFFLED within each stage so the model
+    never sees a secondary systematic order. Stage = ``n_chars //
+    stage_width`` (length as the difficulty proxy; any integer
+    difficulty column drops in unchanged).
+
+    Same identity-only total-order machinery as ``epoch_shuffle`` with
+    a two-level key: one (stages × 256)-cell count fold gives the
+    driver bounded offsets (never keys), one (stage, key-byte)-bucketed
+    groupby sorts each bucket on the full 128-bit md5 and adds its
+    offset. Output (doc_id, stage, pos); the twin is
+    ``row_number() OVER (ORDER BY stage, md5(...)) - 1``."""
+    from ._util import elementwise_fold
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    # stages are data-dependent but bounded: fold the max stage first
+    # (ONE int — the same bounded-metadata discipline as the counts)
+    max_stage = int(
+        elementwise_fold(
+            ds,
+            lambda df: np.array(
+                [int((df["n_chars"].to_numpy(dtype=np.int64) // stage_width).max(initial=0))]
+            ),
+            np.maximum,
+            np.int64,
+            (1,),
+        )[0]
+    )
+    n_stages = max_stage + 1
+
+    def _keys(ids: np.ndarray) -> np.ndarray:
+        return np.array(
+            [
+                hashlib.md5(f"{_CURR_SALT}|{seed}|{int(d)}".encode()).hexdigest()
+                for d in ids
+            ],
+            dtype=object,
+        )
+
+    def cell_counts(df: pd.DataFrame):
+        stage = df["n_chars"].to_numpy(dtype=np.int64) // stage_width
+        keys = _keys(df["doc_id"].to_numpy())
+        b = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        out = np.zeros(n_stages * 256, dtype=np.int64)
+        np.add.at(out, stage * 256 + b, 1)
+        return out
+
+    per_cell = elementwise_fold(ds, cell_counts, np.add, np.int64, (n_stages * 256,))
+    offsets = np.concatenate(([0], np.cumsum(per_cell)[:-1]))
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        stage = df["n_chars"].to_numpy(dtype=np.int64) // stage_width
+        keys = _keys(df["doc_id"].to_numpy())
+        b = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "stage": stage,
+                "cell": stage * 256 + b,
+                "key": keys,
+            }
+        )
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("key").reset_index(drop=True)
+        base = offsets[int(g["cell"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "stage": g["stage"],
+                "pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(rank, batch_format="pandas")
+    )

@@ -379,3 +379,54 @@ def test_trimmed_stats_planted(ray_session, tmp_path):
     # matching the twin's empty groups
     got50 = trimmed_stats(str(tmp_path), trim_pct=50)
     assert len(got50) == 0
+
+
+def test_funnel_conversions_planted(ray_session, tmp_path):
+    """Planted funnel semantics: ordered view<click<purchase inside
+    the window converts; wrong order, out-of-window views, and exact
+    window/timestamp boundaries (strict inequalities) do not."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.events import funnel_conversions
+
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def ev(uid, kind, sec):
+        return {"user_id": uid, "event_type": kind, "ts": t0 + np.timedelta64(sec, "s")}
+
+    rows = [
+        # u1: textbook conversion
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2: click before view → no conversion
+        ev(2, "click", 0), ev(2, "view", 10), ev(2, "purchase", 20),
+        # u3: view outside the trailing window → no conversion
+        ev(3, "view", 0), ev(3, "click", 10), ev(3, "purchase", 3700),
+        # u4: view exactly AT t-window (strict >) → no conversion
+        ev(4, "view", 100), ev(4, "click", 200), ev(4, "purchase", 3700),
+        # u5: click at the purchase instant (strict <) → no conversion
+        ev(5, "view", 0), ev(5, "click", 20), ev(5, "purchase", 20),
+        # u6: two purchases, only the second has a full chain before it
+        ev(6, "purchase", 5), ev(6, "view", 10), ev(6, "click", 20),
+        ev(6, "purchase", 30),
+        # u7: no purchase → absent from the output
+        ev(7, "view", 0), ev(7, "click", 1),
+    ]
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+
+    out = (
+        funnel_conversions(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3, 4, 5, 6]
+    assert out.loc[1, "n_converted"] == 1 and out.loc[1, "n_purchases"] == 1
+    assert out.loc[2, "n_converted"] == 0
+    assert out.loc[3, "n_converted"] == 0
+    assert out.loc[4, "n_converted"] == 0
+    assert out.loc[5, "n_converted"] == 0
+    assert out.loc[6, "n_purchases"] == 2 and out.loc[6, "n_converted"] == 1

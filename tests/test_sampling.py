@@ -258,3 +258,32 @@ def test_active_users_planted_windows(ray_session, tmp_path):
     # WAU(1-1)={1,2}; WAU(1-2)=d27..1-2⊇{1,2}; WAU(1-3)={1,2,3};
     # WAU(1-9)=1-3..1-9={3,1}
     assert list(got["wau"]) == [2, 2, 3, 2]
+
+
+def test_curriculum_order_is_staged_permutation(ray_session):
+    """pos is an exact 0..n-1 permutation, every stage-s document
+    precedes every stage-(s+1) document, and within a stage the order
+    is the md5 draw (spot-checked against hashlib)."""
+    import hashlib
+
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.sampling import curriculum_order
+
+    out = (
+        curriculum_order("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("pos", ignore_index=True)
+    )
+    n = len(out)
+    assert n == 500
+    assert (out["pos"].to_numpy() == np.arange(n)).all()
+    # stages are non-decreasing along pos
+    assert (np.diff(out["stage"].to_numpy()) >= 0).all()
+    # within the largest stage, order == md5 draw order
+    s = out[out["stage"] == out["stage"].mode()[0]]
+    keys = [
+        hashlib.md5(f"curr|1|{int(d)}".encode()).hexdigest()
+        for d in s["doc_id"]
+    ]
+    assert keys == sorted(keys)
