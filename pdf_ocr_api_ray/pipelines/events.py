@@ -1175,46 +1175,66 @@ def funnel_conversions(
     win_us = np.int64(window_s) * 1_000_000
 
     def funnel_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized — no per-user Python loop: each user's
+        # timestamps shift into a DISJOINT int64 range (user ordinal ×
+        # span), so ONE global searchsorted per step respects user
+        # boundaries; an out-of-segment hit lands in another user's
+        # range and the strict comparisons below reject it. Headroom:
+        # ordinal ≤ bucket users, span = ts spread + window + 2 —
+        # overflow would need users × span ≥ 2^63 (≈ 10⁵ years of µs
+        # spread × 10⁶ users per bucket), checked below.
         g = group.sort_values(["user_id", "ts"])
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         users = g["user_id"].to_numpy(dtype=np.int64)
         kinds = g["event_type"].to_numpy()
-        out_u, out_n, out_c = [], [], []
-        for u in np.unique(users):
-            m = users == u
-            t_u, k_u = ts[m], kinds[m]
-            buys = t_u[k_u == s_buy]
-            if not len(buys):
-                continue
-            views = t_u[k_u == s_view]
-            clicks = t_u[k_u == s_click]
-            conv = np.zeros(len(buys), dtype=bool)
-            if len(views) and len(clicks):
-                # earliest view STRICTLY after t - window
-                vi = np.searchsorted(views, buys - win_us, side="right")
-                has_v = vi < len(views)
-                v1 = views[np.minimum(vi, len(views) - 1)]
-                # any click STRICTLY after that view and before t
-                ci = np.searchsorted(clicks, v1, side="right")
-                has_c = ci < len(clicks)
-                c1 = clicks[np.minimum(ci, len(clicks) - 1)]
-                conv = has_v & has_c & (c1 < buys)
-            out_u.append(np.full(1, u))
-            out_n.append(np.array([len(buys)], dtype=np.int64))
-            out_c.append(np.array([int(conv.sum())], dtype=np.int64))
-        if not out_u:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_purchases": pd.Series([], dtype="int64"),
-                    "n_converted": pd.Series([], dtype="int64"),
-                }
-            )
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_purchases": pd.Series([], dtype="int64"),
+                "n_converted": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(ts):
+            return empty
+        uniq, ordinal = np.unique(users, return_inverse=True)
+        t0 = ts.min()
+        span = int(ts.max() - t0) + int(win_us) + 2
+        if len(uniq) * span >= 2**62:
+            raise OverflowError("funnel_conversions offset headroom exceeded")
+        shifted = (ts - t0) + ordinal * span  # sorted: g is (user, ts)-sorted
+        is_buy = kinds == s_buy
+        views = shifted[kinds == s_view]
+        clicks = shifted[kinds == s_click]
+        buys = shifted[is_buy]
+        buy_ord = ordinal[is_buy]
+        if not len(buys):
+            return empty
+        conv = np.zeros(len(buys), dtype=bool)
+        if len(views) and len(clicks):
+            # earliest view STRICTLY after t - window; the probe
+            # `buys - win_us` can underflow into the PREVIOUS user's
+            # range (a buy near its range start), so clamp to this
+            # user's view-segment start — LATER-user leakage needs no
+            # clamp: those views/clicks sit ≥ one whole span above the
+            # buy and the final c1 < buys rejects them
+            vi = np.searchsorted(views, buys - win_us, side="right")
+            vi = np.maximum(vi, np.searchsorted(views, buy_ord * span, side="left"))
+            has_v = vi < len(views)
+            v1 = views[np.minimum(vi, len(views) - 1)]
+            # any click STRICTLY after that view and before t (v1 in
+            # this user's range ⇒ earlier users' clicks all sort below)
+            ci = np.searchsorted(clicks, v1, side="right")
+            has_c = ci < len(clicks)
+            c1 = clicks[np.minimum(ci, len(clicks) - 1)]
+            conv = has_v & has_c & (c1 < buys)
+        n_buys = np.bincount(buy_ord, minlength=len(uniq))
+        n_conv = np.bincount(buy_ord, weights=conv.astype(np.float64), minlength=len(uniq)).astype(np.int64)
+        keep = n_buys > 0
         return pd.DataFrame(
             {
-                "user_id": np.concatenate(out_u),
-                "n_purchases": np.concatenate(out_n),
-                "n_converted": np.concatenate(out_c),
+                "user_id": uniq[keep],
+                "n_purchases": n_buys[keep].astype(np.int64),
+                "n_converted": n_conv[keep],
             }
         )
 

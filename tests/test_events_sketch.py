@@ -430,3 +430,37 @@ def test_funnel_conversions_planted(ray_session, tmp_path):
     assert out.loc[4, "n_converted"] == 0
     assert out.loc[5, "n_converted"] == 0
     assert out.loc[6, "n_purchases"] == 2 and out.loc[6, "n_converted"] == 1
+
+
+def test_funnel_no_cross_user_leak_in_shared_bucket(ray_session, tmp_path):
+    """Two users co-located in ONE hash bucket (ids differ by
+    NUM_KEY_BUCKETS): user A's view+click immediately precede user B's
+    early purchase in raw time — the vectorized offset trick must NOT
+    let A's chain convert B's purchase (the probe-underflow clamp),
+    while A's own later purchase still converts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.events import NUM_KEY_BUCKETS, funnel_conversions
+
+    a, b = 3, 3 + NUM_KEY_BUCKETS  # same bucket
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def ev(uid, kind, sec):
+        return {"user_id": uid, "event_type": kind, "ts": t0 + np.timedelta64(sec, "s")}
+
+    rows = [
+        ev(a, "view", 0), ev(a, "click", 5), ev(a, "purchase", 10),
+        # B's purchase 8 s after the epoch start (inside A's chain's
+        # window by raw time) with NO view/click of its own
+        ev(b, "purchase", 8),
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        tmp_path / "events.parquet",
+    )
+    out = funnel_conversions(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.loc[a, "n_converted"] == 1
+    assert out.loc[b, "n_converted"] == 0
