@@ -637,6 +637,16 @@ def hard_negatives_ann(
     default's recall vs the exact anchor is pinned ≥ 0.95 on
     planted-cluster corpora in tests/test_similarity.py.
 
+    Partitioning assumption (the knob that keeps total COMPUTE linear,
+    not just the shuffle): per-cell work is |queries probing the cell|
+    × |cell|, so with a FIXED quantizer the self-join is N²/cells. At
+    scale, grow ``IVF_CELLS`` ∝ N (constant expected cell size — the
+    standard IVF sizing, cells ≈ √N·c or N/target_cell_size) so total
+    work stays ≈ N × n_probe × target_cell_size — linear. The sandbox
+    pins the 16-cell configuration's correctness (full-probe ≡ brute
+    force) and the routing/co-location shape; the cell count is a
+    constructor-level constant swap.
+
     ``cell_shards`` is the HOT-CELL skew lever: a skewed embedding
     distribution can pile most of the corpus into one k-means cell,
     making that one group O(|cell| × queries-probing-it). With
@@ -771,7 +781,10 @@ def knn_graph_ann(
     pinned on planted-cluster corpora in tests/test_similarity.py.
     ``cell_shards`` is the hot-cell skew lever shared with
     ``hard_negatives_ann`` (members shard by vec_id hash, queries
-    replicate per shard; output bit-identical, largest group ÷ s)."""
+    replicate per shard; output bit-identical, largest group ÷ s);
+    the linear-total-compute assumption is also shared: grow
+    ``IVF_CELLS`` ∝ N at scale so expected cell size stays constant
+    (see hard_negatives_ann)."""
     import ray  # noqa: F401
 
     if train == "full":
