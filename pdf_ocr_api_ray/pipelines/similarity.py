@@ -605,6 +605,7 @@ def hard_negatives_ann(
     n_probe_cells: int = 4,
     train: str = "sample",
     cell_shards: int = 1,
+    n_cells: int = IVF_CELLS,
 ):
     """The 10⁹-vector scale path for hard-negative mining: for EVERY
     vector, the top-``k`` most cosine-similar vectors with a DIFFERENT
@@ -644,8 +645,8 @@ def hard_negatives_ann(
     standard IVF sizing, cells ≈ √N·c or N/target_cell_size) so total
     work stays ≈ N × n_probe × target_cell_size — linear. The sandbox
     pins the 16-cell configuration's correctness (full-probe ≡ brute
-    force) and the routing/co-location shape; the cell count is a
-    constructor-level constant swap.
+    force) and the routing/co-location shape; the cell count is the ``n_cells``
+    parameter.
 
     ``cell_shards`` is the HOT-CELL skew lever: a skewed embedding
     distribution can pile most of the corpus into one k-means cell,
@@ -660,13 +661,13 @@ def hard_negatives_ann(
     import ray  # noqa: F401  (parity with sibling ops' import shape)
 
     if train == "full":
-        cents = _kmeans_centroids_distributed(sf_dir, IVF_CELLS)
+        cents = _kmeans_centroids_distributed(sf_dir, n_cells)
     else:
         sample = _smallest_by_vec_id(sf_dir, IVF_SAMPLE)
         smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
         smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
-        cents = _kmeans_centroids(smat, IVF_CELLS)
-    n_probe = min(n_probe_cells, IVF_CELLS)
+        cents = _kmeans_centroids(smat, n_cells)
+    n_probe = min(n_probe_cells, n_cells)
     shards = max(1, int(cell_shards))
 
     ds = read_parquet_clean(
@@ -763,6 +764,7 @@ def knn_graph_ann(
     n_probe_cells: int = 4,
     train: str = "sample",
     cell_shards: int = 1,
+    n_cells: int = IVF_CELLS,
 ):
     """The 10⁹-vector scale path for the exact kNN graph: for EVERY
     vector, the top-``k`` cosine neighbors (self excluded) mined from
@@ -788,13 +790,13 @@ def knn_graph_ann(
     import ray  # noqa: F401
 
     if train == "full":
-        cents = _kmeans_centroids_distributed(sf_dir, IVF_CELLS)
+        cents = _kmeans_centroids_distributed(sf_dir, n_cells)
     else:
         sample = _smallest_by_vec_id(sf_dir, IVF_SAMPLE)
         smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
         smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
-        cents = _kmeans_centroids(smat, IVF_CELLS)
-    n_probe = min(n_probe_cells, IVF_CELLS)
+        cents = _kmeans_centroids(smat, n_cells)
+    n_probe = min(n_probe_cells, n_cells)
     shards = max(1, int(cell_shards))
 
     ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])

@@ -427,3 +427,29 @@ def test_ann_miners_cell_sharding_bit_identical(ray_session):
             a = canon(fn(SF, n_probe_cells=probes, cell_shards=1))
             b = canon(fn(SF, n_probe_cells=probes, cell_shards=3))
             pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_miners_n_cells_parameter(ray_session):
+    """The cells-grow-with-N scale knob is a real parameter: full-probe
+    at a DIFFERENT quantizer size (8 cells) still equals the brute-force
+    anchor bit-for-bit (exactness never depends on the cell count)."""
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.similarity import (
+        hard_negatives,
+        hard_negatives_ann,
+        knn_graph,
+        knn_graph_ann,
+    )
+
+    def canon(ds):
+        return ds.to_pandas().sort_values(["vec_id", "rank"], ignore_index=True)
+
+    pd.testing.assert_frame_equal(
+        canon(hard_negatives(SF)),
+        canon(hard_negatives_ann(SF, n_probe_cells=8, n_cells=8)),
+    )
+    pd.testing.assert_frame_equal(
+        canon(knn_graph(SF)),
+        canon(knn_graph_ann(SF, n_probe_cells=8, n_cells=8)),
+    )
