@@ -845,30 +845,48 @@ def gram_tables(sf_dir: str):
     materialized (g, c) Dataset — bounded by the gram vocabulary, not
     the corpus — which downstream ops consume as many times as needed
     without rescanning the corpus (each op previously rebuilt this
-    identical exchange: sharing it halves the pair's combined wall)."""
+    identical exchange: sharing it halves the pair's combined wall).
+
+    Exchange shape: the per-block partials are Arrow string tables
+    (``pc.value_counts`` — C++ counting, and the sort-shuffle
+    partitioner sorts Arrow strings instead of pandas object dtype),
+    and a cluster-proportional pre-combine (``repartition`` to
+    ``max(8, CPUs // 4)`` blocks) shrinks the groupby's all-to-all
+    ramp quadratically (the ramp is O(width²) tiny shuffle objects)
+    while the exchange width still grows with the cluster — NOT a
+    collapse to one block, so a web-scale vocabulary still spreads
+    across the keyed exchange. Measured at sf0.1 / 32 CPUs (warm
+    workers, clean node): 14.2 s → 7.8 s for the identical 962-row
+    (g, c) result."""
     from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         texts = df["text"].fillna("")
-        frames = []
+        tabs = []
         for n in (1, 2):
             _, _, grams = _flat_grams(texts, n)
-            counts = pd.Series(grams, dtype=object).value_counts()
-            frames.append(
-                pd.DataFrame(
+            vc = pc.value_counts(pa.array(grams, pa.string()))
+            tabs.append(
+                pa.table(
                     {
-                        "g": counts.index.astype(str),
-                        "partial": counts.values.astype(np.int64),
+                        "g": vc.field("values"),
+                        "partial": pc.cast(vc.field("counts"), pa.int64()),
                     }
                 )
             )
-        return pd.concat(frames, ignore_index=True)
+        return pa.concat_tables(tabs)
 
+    import ray
+
+    width = max(8, int(ray.cluster_resources().get("CPU", 32)) // 4)
+    partials = ds.map_batches(partial, batch_format="pandas").repartition(width)
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("g")
+        partials.groupby("g")
         .aggregate(Sum("partial", alias_name="c"))
         .materialize()  # bounded by the (uni+bi)gram vocabulary
     )
