@@ -957,12 +957,14 @@ _RELATIONAL_ORACLES = {
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         """,
-        # media_features really parses a mixed PPM/BMP binary column;
-        # the twin reproduces the synth derivations, so any decoder bug
-        # (BMP row padding, BGR order, bottom-up flip) breaks parity
+        # media_features really parses a mixed PPM/BMP/PNG binary
+        # column; the twin reproduces the synth derivations, so any
+        # decoder bug (BMP row padding, BGR order, bottom-up flip, PNG
+        # filter reconstruction, CRC/inflate handling) breaks parity
         "media_features": """
             SELECT doc_id, TRUE AS ok,
-                   CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+                   CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                        ELSE 'png' END AS format,
                    CAST(32 + (n_chars % 97) AS BIGINT) AS width,
                    CAST(16 + (doc_id % 53) AS BIGINT) AS height,
                    CAST((doc_id * 7) % 256 AS BIGINT) AS mean_r,

@@ -1,21 +1,24 @@
 """Multimodal column plumbing (image/audio treated as opaque binary +
-typed metadata): REAL pure-numpy decode paths for TWO uncompressed
-image formats (PPM P6 and 24-bit BI_RGB BMP, magic-dispatched) plus a
-STUBBED decode stage for codec-requiring formats.
+typed metadata): REAL pure-numpy decode paths for THREE image formats
+— PPM P6 and 24-bit BI_RGB BMP (uncompressed) and 8-bit RGB PNG
+(DEFLATE-compressed, full filter reconstruction), magic-dispatched —
+plus a STUBBED decode stage for codec-requiring formats.
 
 The container has no image/audio codec libraries, so ``MediaDecoder``
 (the frame-count path, genuinely video-codec territory) remains a
 deterministic fake (clearly marked) standing in for PIL/ffmpeg — the
 Ray-side plumbing (actor-pool stage, schema, batch sizing for large
-binary payloads) is real and tested. For UNCOMPRESSED formats no
-codec is needed: ``decode_ppm`` / ``decode_bmp`` / ``decode_image``
-genuinely parse binary image payloads (magic check, header
-validation, BMP row padding / BGR / bottom-up handling, payload
-length checks), and ``media_features`` / ``media_decode_ppm`` run
-them behind actor pools — bytes in, scalars out, malformed rows
-quarantined. A production deployment adds codec-backed branches next
-to the two real ones without touching the pipeline shape (cf.
-reference's by-reference assets, src/externalstorage/*).
+binary payloads) is real and tested. For formats stdlib + numpy can
+carry, no codec is needed: ``decode_ppm`` / ``decode_bmp`` /
+``decode_png`` / ``decode_image`` genuinely parse binary image
+payloads (magic check, header validation, BMP row padding / BGR /
+bottom-up handling, PNG chunk walk + CRC32 + zlib inflate + per-row
+Sub/Up/Average/Paeth unfiltering, payload length checks), and
+``media_features`` / ``media_decode_ppm`` run them behind actor
+pools — bytes in, scalars out, malformed rows quarantined. A
+production deployment adds codec-backed branches next to the three
+real ones without touching the pipeline shape (cf. reference's
+by-reference assets, src/externalstorage/*).
 """
 
 from __future__ import annotations
@@ -101,9 +104,10 @@ def media_frame_sample(sf_dir: str, every_n: int = 6, target_w: int = 256):
 def synth_image_payload(doc_id: int, n_chars: int) -> bytes:
     """Deterministic image payload for a corpus row (the testdata
     ships no media bytes): the SAME derived constant-color image as
-    ``synth_ppm_payload``, encoded as PPM for even doc_ids and BMP for
-    odd ones — so the decode stage faces a MIXED-format binary column.
-    The decoder knows none of this; it dispatches on magic bytes."""
+    ``synth_ppm_payload``, encoded as PPM / BMP / PNG by ``doc_id % 3``
+    — so the decode stage faces a MIXED-format binary column spanning
+    two uncompressed layouts and one DEFLATE-compressed one. The
+    decoder knows none of this; it dispatches on magic bytes."""
     import numpy as np
 
     w = 32 + (n_chars % 97)
@@ -113,14 +117,15 @@ def synth_image_payload(doc_id: int, n_chars: int) -> bytes:
         dtype=np.uint8,
     )
     img = np.broadcast_to(rgb, (h, w, 3))
-    return encode_ppm(img) if doc_id % 2 == 0 else encode_bmp(img)
+    enc = (encode_ppm, encode_bmp, encode_png)[doc_id % 3]
+    return enc(img)
 
 
 class ImageDecoder:
     """REAL actor-pool decode stage over a mixed-format binary column:
-    magic-dispatch parse (PPM / BMP, both pure numpy), per-channel
-    integer means, quarantine (ok = False) for malformed or
-    unsupported payloads — never a job failure."""
+    magic-dispatch parse (PPM / BMP / PNG, all pure stdlib+numpy),
+    per-channel integer means, quarantine (ok = False) for malformed
+    or unsupported payloads — never a job failure."""
 
     def __init__(self) -> None:
         self.codec_ready = True  # stand-in for heavy codec init
@@ -163,11 +168,12 @@ class ImageDecoder:
 
 def media_features(sf_dir: str):
     """Decode-and-extract features over a MIXED-format media column —
-    real bytes for BOTH formats (PPM + BMP, magic-dispatched), parsed
-    by the actor-pool stage; payloads exist only inside the stage
-    (bytes in → scalars out). The SQL twin reproduces the features
-    from the synth derivations, so any decoder bug (BMP row padding,
-    BGR order, bottom-up flip, PPM header scan) breaks parity."""
+    real bytes for all THREE formats (PPM + BMP + PNG,
+    magic-dispatched), parsed by the actor-pool stage; payloads exist
+    only inside the stage (bytes in → scalars out). The SQL twin
+    reproduces the features from the synth derivations, so any decoder
+    bug (BMP row padding, BGR order, bottom-up flip, PPM header scan,
+    PNG filter reconstruction / CRC / inflate) breaks parity."""
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
 
     def attach_payload(df: pd.DataFrame) -> pd.DataFrame:
@@ -304,15 +310,175 @@ def decode_bmp(data: bytes):
     return np.ascontiguousarray(img)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4) — exact integer form."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(arr, filters=None) -> bytes:
+    """(h, w, 3) uint8 RGB array → PNG bytes (8-bit truecolor, no
+    interlace). ``filters`` picks the per-row filter type; the default
+    cycles ``row % 5`` through ALL five spec filters (None / Sub / Up /
+    Average / Paeth), so a decoder that fudges any reconstruction rule
+    fails round-trip on every image taller than 5 rows — the encoder
+    applies each filter for real (the spec's forward direction), not
+    just filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3
+    rows = a.astype(np.int64)
+    raw = bytearray()
+    for y in range(h):
+        f = (y % 5) if filters is None else filters[y]
+        cur = rows[y].reshape(-1)  # (w*3,) current scanline, int64
+        up = rows[y - 1].reshape(-1) if y else np.zeros(w * 3, dtype=np.int64)
+        left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+        ul = np.concatenate([np.zeros(3, dtype=np.int64), up[:-3]])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - up
+        elif f == 3:
+            out = cur - (left + up) // 2
+        else:  # 4: Paeth
+            pred = np.fromiter(
+                (_paeth(int(l), int(u), int(d)) for l, u, d in zip(left, up, ul)),
+                dtype=np.int64,
+                count=w * 3,
+            )
+            out = cur - pred
+        raw.append(f)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """PNG bytes → (h, w, 3) uint8 RGB array. Real parsing: signature,
+    chunk walk with per-chunk CRC32 verification, IHDR validation
+    (8-bit truecolor, no interlace — other variants raise), multi-IDAT
+    concatenation, zlib inflate, and per-scanline reconstruction of
+    all five spec filters (None/Sub/Up/Average/Paeth §9). Sub, Average
+    and Paeth carry a left-pixel data dependency, so reconstruction is
+    sequential within a row (bounded by the row, not the image — a
+    tiled production decoder parallelizes across rows/tiles). Raises
+    ValueError on malformed input (quarantined by the stage)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), 0
+    h = bit_depth = color_type = interlace = -1
+    idat = bytearray()
+    seen_end = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if h < 0 or not seen_end:
+        raise ValueError("missing IHDR/IEND")
+    if bit_depth != 8 or color_type != 2 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant depth={bit_depth} "
+            f"color={color_type} interlace={interlace}"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG inflate failed: {e}") from e
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"scanline data {len(raw)} != {h * (stride + 1)}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        up = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up: no left dependency — vectorized
+            rec = (line + up) % 256
+        elif f in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - 3] if i >= 3 else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up[i]) // 2
+                else:
+                    ul = int(up[i - 3]) if i >= 3 else 0
+                    pred = _paeth(int(left), int(up[i]), ul)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
 def decode_image(data: bytes):
-    """Magic-dispatch real decode: P6 → PPM, BM → BMP, anything else
-    raises (quarantined by the stage). Returns ((h, w, 3) RGB array,
-    format string). A production deployment adds codec-backed branches
-    here without touching the pipeline shape."""
+    """Magic-dispatch real decode: P6 → PPM, BM → BMP, \\x89PNG → PNG;
+    anything else raises (quarantined by the stage). Returns
+    ((h, w, 3) RGB array, format string). A production deployment adds
+    codec-backed branches here without touching the pipeline shape."""
     if data[:2] == b"P6":
         return decode_ppm(data), "ppm"
     if data[:2] == b"BM":
         return decode_bmp(data), "bmp"
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(data), "png"
     raise ValueError("unsupported image format")
 
 

@@ -253,6 +253,92 @@ def test_bmp_rejects_malformed_variants():
         decode_bmp(bytes(bad_bpp))
 
 
+# ---------- PNG (fourth real format: DEFLATE + filter reconstruction) ----------
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """encode→decode identity on random images tall enough that the
+    default row%5 filter cycle applies every spec filter (None / Sub /
+    Up / Average / Paeth) — forward filtering and inverse
+    reconstruction are separate code paths, so a bug in either breaks
+    this for real pixel data."""
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.media import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for h, w in ((11, 4), (7, 13), (6, 1)):
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        assert back.shape == img.shape
+        assert (back == img).all(), f"{h}x{w}"
+    # each filter type alone, too (isolates which rule broke)
+    img = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    for f in range(5):
+        back = decode_png(encode_png(img, filters=[f] * 5))
+        assert (back == img).all(), f"filter {f}"
+
+
+def test_png_container_structure_is_spec_pinned():
+    """Independent of decode_png: a filter-0 PNG's IDAT must zlib-
+    inflate to exactly the spec scanline layout (one 0x00 filter byte
+    + w*3 literal pixel bytes per row), and the signature/IHDR fields
+    must sit at their spec offsets — pins the container format against
+    a matched encoder/decoder bug pair."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pdf_ocr_api_ray.pipelines.media import encode_png
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = encode_png(img, filters=[0, 0])
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR: first chunk, fixed offset
+    assert data[12:16] == b"IHDR"
+    w, h, depth, color = struct.unpack(">IIBB", data[16:26])
+    assert (w, h, depth, color) == (3, 2, 8, 2)
+    # locate IDAT, inflate, compare to literal scanlines
+    i = data.index(b"IDAT")
+    (length,) = struct.unpack(">I", data[i - 4 : i])
+    raw = zlib.decompress(data[i + 4 : i + 4 + length])
+    expect = b"\x00" + img[0].tobytes() + b"\x00" + img[1].tobytes()
+    assert raw == expect
+
+
+def test_png_rejects_malformed_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pdf_ocr_api_ray.pipelines.media import decode_png, encode_png
+
+    good = encode_png(np.full((4, 4, 3), 9, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNX" + good[4:])  # wrong signature
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # truncated mid-chunk
+    # flip one IDAT byte → CRC mismatch must be caught, not misdecoded
+    bad = bytearray(good)
+    bad[good.index(b"IDAT") + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # unsupported variant: grayscale color type (rebuild IHDR with a
+    # valid CRC so the variant check itself is what fires)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        decode_png(good[:8] + chunk + good[8 + len(chunk) :])
+
+
 def test_decode_image_dispatches_on_magic():
     import numpy as np
     import pytest
@@ -264,7 +350,13 @@ def test_decode_image_dispatches_on_magic():
     )
 
     img = np.full((3, 5, 3), 17, dtype=np.uint8)
-    for enc, fmt in ((encode_ppm, "ppm"), (encode_bmp, "bmp")):
+    from pdf_ocr_api_ray.pipelines.media import encode_png
+
+    for enc, fmt in (
+        (encode_ppm, "ppm"),
+        (encode_bmp, "bmp"),
+        (encode_png, "png"),
+    ):
         back, got_fmt = decode_image(enc(img))
         assert got_fmt == fmt and (back == img).all()
     with pytest.raises(ValueError):
@@ -272,18 +364,20 @@ def test_decode_image_dispatches_on_magic():
 
 
 def test_media_features_mixed_formats_real_decode(ray_session):
-    """media_features parses a MIXED PPM/BMP binary column: every row
-    decodes ok, the format split follows doc_id parity, and the means
-    equal the synth colors (pinning BGR→RGB and row-order handling —
-    a channel swap or flip would shift mean_r/mean_b)."""
+    """media_features parses a MIXED PPM/BMP/PNG binary column: every
+    row decodes ok, the format split follows doc_id % 3, and the means
+    equal the synth colors (pinning BGR→RGB, row-order handling and
+    the PNG filter reconstruction — a channel swap, flip or filter bug
+    would shift mean_r/mean_b)."""
     from pdf_ocr_api_ray.pipelines.media import media_features
 
     out = media_features("/root/testdata/sf0.001").to_pandas()
     assert len(out) == 500
     assert out["ok"].all()
-    even = out["doc_id"] % 2 == 0
-    assert (out.loc[even, "format"] == "ppm").all()
-    assert (out.loc[~even, "format"] == "bmp").all()
+    mod = out["doc_id"] % 3
+    assert (out.loc[mod == 0, "format"] == "ppm").all()
+    assert (out.loc[mod == 1, "format"] == "bmp").all()
+    assert (out.loc[mod == 2, "format"] == "png").all()
     assert (out["mean_r"] == (out["doc_id"] * 7) % 256).all()
 
 
