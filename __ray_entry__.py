@@ -434,6 +434,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # r5: per-user view→click→purchase funnel conversions within a
         # trailing window (three searchsorted probes per purchase)
         "funnel_conversions": events.funnel_conversions,
+        # r5: weekly cohort-retention matrix (user-anchored offsets,
+        # one user-hash exchange, calendar-bounded partials)
+        "cohort_retention": events.cohort_retention,
     }
 
 
@@ -505,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
 # non-default argument can't silently diverge from the parity oracle
 from pdf_ocr_api_ray.pipelines.events import (  # noqa: E402
     ACTIVE_USERS_WINDOW_DAYS as _AU_WINDOW_DAYS,
+    COHORT_WEEK_DAYS as _COHORT_WEEK_DAYS,
     ANOMALY_FACTOR_DEN as _ANOM_DEN,
     ANOMALY_FACTOR_NUM as _ANOM_NUM,
     DEBOUNCE_GAP_S as _DEBOUNCE_GAP_S,
@@ -670,6 +674,27 @@ _RELATIONAL_ORACLES = {
                    CAST(count(*) AS BIGINT) AS n_purchases,
                    CAST(sum(conv) AS BIGINT) AS n_converted
             FROM conv GROUP BY user_id
+        """,
+        "cohort_retention": f"""
+            -- cohort = calendar week of the user's FIRST event;
+            -- week_offset anchored to the user's OWN first day — the
+            -- engine's per-user-bucket min(day) replays this exactly
+            WITH du AS (
+                SELECT DISTINCT
+                       CAST(datediff('day', TIMESTAMP '1970-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS day,
+                       user_id
+                FROM events
+            ), f AS (
+                SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+            )
+            SELECT CAST(floor(f.first_day / {_COHORT_WEEK_DAYS}) AS BIGINT)
+                     AS cohort_week,
+                   CAST(floor((du.day - f.first_day) / {_COHORT_WEEK_DAYS})
+                        AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users
+            FROM du JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "anomaly_days": f"""
             -- spike: 7·n·den > num·prev7 with prev7 > 0, prev7 over

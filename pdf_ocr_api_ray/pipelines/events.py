@@ -25,6 +25,7 @@ def _t(sf_dir: str, name: str) -> str:
 # argument can never silently invalidate the parity oracle — engine
 # and twin read the same value from one place.
 ACTIVE_USERS_WINDOW_DAYS = 7
+COHORT_WEEK_DAYS = 7
 DEBOUNCE_GAP_S = 300
 ANOMALY_FACTOR_NUM = 2
 ANOMALY_FACTOR_DEN = 1
@@ -1243,3 +1244,84 @@ def funnel_conversions(
         .groupby("ub")
         .map_groups(funnel_bucket, batch_format="pandas")
     )
+
+
+def cohort_retention(
+    sf_dir: str,
+    week_days: int = COHORT_WEEK_DAYS,
+    num_buckets: int = NUM_KEY_BUCKETS,
+):
+    """Weekly cohort-retention matrix — the growth report every
+    training-data/product pipeline runs over its event log: users
+    cohort by the calendar week of their FIRST event, and each
+    ``(cohort_week, week_offset)`` cell counts the distinct cohort
+    members active ``week_offset`` weeks after their own first day.
+    Output: ``(cohort_week, week_offset, n_users)`` — ``cohort_week``
+    in epoch weeks (``first_day // week_days``), ``week_offset`` =
+    ``(day - first_day) // week_days`` relative to the user's OWN
+    first day (the standard user-anchored retention definition).
+
+    Scale shape (the ``active_users`` idiom): per-batch distinct
+    ``(day, user)`` rows bucket BY USER, so a user's whole history
+    lands in ONE bucket and both the per-user ``min(day)`` and the
+    distinct ``(cohort_week, week_offset, user)`` cell set are
+    globally exact inside the bucket — cross-bucket double counting is
+    structurally impossible. Each bucket emits calendar-bounded
+    partial counts (≤ #weeks² rows), the final keyed groupby sums
+    partials, and the driver never sees user- or event-scale rows.
+    Pure integer day/week arithmetic throughout (hash-exact twin)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def day_user(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "day": df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+        out["ub"] = (out["user_id"] % num_buckets).astype(np.int32)
+        return out
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        du = g.drop_duplicates(["day", "user_id"])
+        days = du["day"].to_numpy(np.int64)
+        first = du.groupby("user_id")["day"].transform("min").to_numpy(np.int64)
+        cells = pd.DataFrame(
+            {
+                # epoch days are non-negative and offsets are ≥ 0, so
+                # C-truncating // IS floor division — matches the twin
+                "cohort_week": first // week_days,
+                "week_offset": (days - first) // week_days,
+                "user_id": du["user_id"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+        part = (
+            cells.groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        part["n_users"] = part["n_users"].astype(np.int64)
+        return part
+
+    agg = (
+        ds.map_batches(day_user, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(bucket_cells, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()  # calendar-bounded: ≤ #weeks² cells
+    )
+    if "cohort_week" not in agg.columns:  # empty-Dataset schema loss guard
+        return pd.DataFrame(
+            {
+                "cohort_week": pd.Series([], dtype="int64"),
+                "week_offset": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64"),
+            }
+        )
+    agg["cohort_week"] = agg["cohort_week"].astype(np.int64)
+    agg["week_offset"] = agg["week_offset"].astype(np.int64)
+    agg["n_users"] = agg["n_users"].astype(np.int64)
+    return agg[["cohort_week", "week_offset", "n_users"]]

@@ -464,3 +464,56 @@ def test_funnel_no_cross_user_leak_in_shared_bucket(ray_session, tmp_path):
     out = funnel_conversions(str(tmp_path)).to_pandas().set_index("user_id")
     assert out.loc[a, "n_converted"] == 1
     assert out.loc[b, "n_converted"] == 0
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    """Planted cohort semantics: cohort_week = first-event epoch week,
+    week_offset anchored to the user's OWN first day, same-day /
+    same-offset-week repeats count once, and two users sharing a hash
+    bucket keep their OWN first days (no per-bucket min leak)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.events import NUM_KEY_BUCKETS, cohort_retention
+
+    def ev(uid, day, hour=0):
+        return {
+            "user_id": uid,
+            "ts": np.datetime64("1970-01-01", "us")
+            + np.timedelta64(day, "D")
+            + np.timedelta64(hour, "h"),
+        }
+
+    rows = [
+        # u1: first day 14 (epoch week 2); same-day repeat at a
+        # different hour counts once; offsets 0, 0, 1, 3
+        ev(1, 14), ev(1, 14, 9), ev(1, 17), ev(1, 21), ev(1, 35),
+        # u2: first day 15 — SAME cohort week 2, own anchor
+        ev(2, 15), ev(2, 22),
+        # u3: single-day user, cohort week 3
+        ev(3, 21),
+        # u4: first day 13 → cohort week 1; day 14 is still offset 0
+        ev(4, 13), ev(4, 14),
+        # u5 shares u3's hash bucket but has an EARLIER first day —
+        # u3's cohort must stay week 3 (per-user min, not bucket min)
+        ev(3 + NUM_KEY_BUCKETS, 14), ev(3 + NUM_KEY_BUCKETS, 21),
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        tmp_path / "events.parquet",
+    )
+    out = (
+        cohort_retention(str(tmp_path))
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    expected = pd.DataFrame(
+        {
+            "cohort_week": pd.Series([1, 2, 2, 2, 3], dtype="int64"),
+            "week_offset": pd.Series([0, 0, 1, 3, 0], dtype="int64"),
+            "n_users": pd.Series([1, 3, 3, 1, 1], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(out, expected)
