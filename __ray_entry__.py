@@ -437,7 +437,17 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # r5: weekly cohort-retention matrix (user-anchored offsets,
         # one user-hash exchange, calendar-bounded partials)
         "cohort_retention": events.cohort_retention,
+        # r5: distributed exact-integer PCA (ONE (d+1)² Gram fold +
+        # driver eigh + stateless projection scan) — rows-only like
+        # the sketch/PQ families; pinned by tests/test_pca.py
+        "embedding_pca": _embedding_pca,
     }
+
+
+def _embedding_pca(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.pca import embedding_pca
+
+    return embedding_pca(sf_dir)
 
 
 def _neural_quality_score(sf_dir: str):

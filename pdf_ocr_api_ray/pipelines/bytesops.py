@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ._util import read_parquet_clean
+from ..stages.clients import RetryPolicy, call_with_retry
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -63,8 +64,6 @@ class SealSigner:
     countersign."""
 
     def __init__(self, credential: str = "demo-credential", client_factory=None, retry=None):
-        from ..stages.clients import RetryPolicy
-
         # the signing client is built once per actor; a real TSP/HSM
         # endpoint is a factory swap (stages/clients.py), not an edit
         self._client = (
@@ -73,8 +72,6 @@ class SealSigner:
         self._retry = retry or RetryPolicy()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..stages.clients import call_with_retry
-
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
         fps = [hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts]

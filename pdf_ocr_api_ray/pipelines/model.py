@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 
 from ._util import read_parquet_clean
+from ..stages.clients import RetryPolicy, call_with_retry
 
 MODEL_SEED = 20240917
 N_FEATURES = 64  # hashed char-bigram buckets
@@ -108,14 +109,10 @@ class QualityModel:
     factory argument, not an engine edit."""
 
     def __init__(self, client_factory=None, retry=None):
-        from ..stages.clients import RetryPolicy
-
         self.client = (client_factory or DefaultQualityClient)()
         self.retry = retry or RetryPolicy()
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.clients import call_with_retry
-
         return call_with_retry(
             self.client.score, self.retry, df, timeout_s=self.retry.timeout_s
         )

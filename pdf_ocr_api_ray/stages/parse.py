@@ -42,6 +42,7 @@ from ..functions.services import parse_services
 from ..functions.textnorm import normalize_alnum
 from ..functions.tipos import tipo_flags_norm
 from ..schemas import SERVICO_STRUCT
+from .clients import RetryPolicy, call_with_retry
 
 HEADER_STRUCT = pa.struct(
     [
@@ -101,15 +102,11 @@ class ChunkParser:
     ``fn_constructor_kwargs``, never an engine edit."""
 
     def __init__(self, depara: dict, header_client_factory=None, retry=None):
-        from .clients import RetryPolicy
-
         self.depara = depara
         self.header_client = (header_client_factory or DefaultHeaderClient)()
         self.retry = retry or RetryPolicy()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .clients import call_with_retry
-
         rows = batch.to_pylist()
         out = []
         for row in rows:

@@ -124,6 +124,9 @@ ROWS_ONLY = {
     # actor-pool model scoring: float GEMM head — reference-pinned
     # (tests/test_model_score.py, shared straight-line kernel)
     "neural_quality_score",
+    # PCA: eigendecomposition — reference-pinned (tests/test_pca.py,
+    # straight-line numpy replay + planted-structure recovery)
+    "embedding_pca",
 }
 
 
