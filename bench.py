@@ -116,6 +116,7 @@ def run_bench() -> dict:
         text,
     )
     from pdf_ocr_api_ray.pipelines import bpe, dsir, model
+    from pdf_ocr_api_ray.pipelines import pca as pca_mod
     from pdf_ocr_api_ray.pipelines import pq as pq_mod
     from pdf_ocr_api_ray.pipelines.extraction import build_extraction
 
@@ -228,6 +229,9 @@ def run_bench() -> dict:
     )
     timeq("anomaly_days", events.anomaly_days, consume="count")
     timeq("trimmed_stats", events.trimmed_stats, consume="count")
+    # r5 late additions: cohort matrix + exact-integer PCA
+    timeq("cohort_retention", events.cohort_retention)
+    timeq("embedding_pca", pca_mod.embedding_pca, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",
