@@ -24,7 +24,12 @@ import pyarrow as pa
 
 from ._util import read_parquet_clean
 
-from ..functions.ocr import CHUNK_STRIDE
+# module-level (not lazy inside the batch UDF): layout_elements_batch
+# runs on workers, where a function-body relative import defeats the
+# package's pickle-by-value shipping when the driver imported
+# __ray_entry__ from outside the repo (same any-cwd class as the
+# actor-stage clients hoist)
+from ..functions.ocr import CHUNK_STRIDE, MEDIA_KINDS, TABLE_KINDS
 from ..schemas import INPUT_SCHEMA
 
 
@@ -642,8 +647,6 @@ def layout_elements_batch(t: pa.Table) -> pa.Table:
     #   - one Figure row per media span.
     import numpy as np
     import pyarrow.compute as pc
-
-    from ..functions.ocr import CHUNK_STRIDE, MEDIA_KINDS, TABLE_KINDS
 
     spans = t.column("spans")
     if isinstance(spans, pa.ChunkedArray):
