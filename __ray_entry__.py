@@ -441,7 +441,19 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # driver eigh + stateless projection scan) — rows-only like
         # the sketch/PQ families; pinned by tests/test_pca.py
         "embedding_pca": _embedding_pca,
+        # r5: one-vs-rest ridge linear probe (classifier-based quality
+        # filtering, GPT-3/LLaMA-style) — ONE fused [X,1,onehot] Gram
+        # fold over the drift-free md5 train split + driver ridge solve
+        # + stateless scoring scan; rows-only like the PCA/sketch
+        # families, pinned by tests/test_probe.py
+        "quality_probe": _quality_probe,
     }
+
+
+def _quality_probe(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.probe import quality_probe
+
+    return quality_probe(sf_dir)
 
 
 def _embedding_pca(sf_dir: str):

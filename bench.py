@@ -117,6 +117,7 @@ def run_bench() -> dict:
     )
     from pdf_ocr_api_ray.pipelines import bpe, dsir, model
     from pdf_ocr_api_ray.pipelines import pca as pca_mod
+    from pdf_ocr_api_ray.pipelines import probe as probe_mod
     from pdf_ocr_api_ray.pipelines import pq as pq_mod
     from pdf_ocr_api_ray.pipelines.extraction import build_extraction
 
@@ -232,6 +233,7 @@ def run_bench() -> dict:
     # r5 late additions: cohort matrix + exact-integer PCA
     timeq("cohort_retention", events.cohort_retention)
     timeq("embedding_pca", pca_mod.embedding_pca, consume="count")
+    timeq("quality_probe", probe_mod.quality_probe, consume="count")
 
     result = {
         "metric": "extraction_e2e_sec",

@@ -157,3 +157,27 @@ def elementwise_fold(ds, per_batch, combine, dtype, shape):
     if not len(out) or "blob" not in out.columns:
         return np.zeros(shape, dtype=dtype)
     return np.frombuffer(out["blob"].iloc[0], dtype=dtype).reshape(shape).copy()
+
+
+def embedding_table_meta(path: str) -> tuple[int, int]:
+    """(row_count, embedding_dim) from parquet METADATA only — no data
+    scan beyond one row group. Directory-aware: the engine's resumable
+    outputs and the bench corpus are multi-file directories, and
+    ``pq.ParquetFile`` alone rejects those."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
+        if os.path.isdir(path)
+        else [path]
+    )
+    n_rows, dim = 0, 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        n_rows += pf.metadata.num_rows
+        if not dim and pf.metadata.num_rows:
+            dim = len(pf.read_row_group(0, columns=["embedding"])["embedding"][0])
+    return n_rows, dim

@@ -112,14 +112,12 @@ def embedding_pca(sf_dir: str, k: int = PCA_K):
     ``(vec_id, pc0..pc{k-1})`` with scores ``round(·, 9)`` (the
     engine-wide ulp-wash). Two scans total: the Gram fold and the
     projection; nothing vector-scale ever reaches the driver."""
-    import pyarrow.parquet as pq
+    from ._util import embedding_table_meta
 
     path = _t(sf_dir, "embeddings")
-    meta = pq.ParquetFile(path)
-    n_rows = meta.metadata.num_rows
+    n_rows, dim = embedding_table_meta(path)
     if n_rows == 0:
         raise ValueError("embedding_pca: empty embeddings table")
-    dim = len(meta.read_row_group(0, columns=["embedding"])["embedding"][0])
     # n × QBOUND² < 2⁶² for any merge tree, by construction; batches
     # assert |q| ≤ QBOUND (see module docstring for the boundary)
     qbound = int(np.sqrt(2**62 / n_rows))

@@ -101,7 +101,10 @@ def _pq_train(
         vecs.reshape(ks, m, sub).transpose(1, 0, 2)
     ).astype(np.float64)
 
-    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["embedding"])
+    # iterative consumer (one execution per Lloyd round): pin the read
+    # in the spill-backed object store once — same rationale as
+    # _kmeans_centroids_distributed; bit-identical results
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["embedding"]).materialize()
 
     for _ in range(iters):
         books_ref = ray.put(books)

@@ -280,7 +280,12 @@ def _kmeans_centroids_distributed(
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
     dim = cents.shape[1]
 
-    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["embedding"])
+    # iterative consumer: each Lloyd round is a full dataset execution,
+    # so pin the read's blocks in the (spill-backed) object store once
+    # instead of re-reading parquet per round — the standard pattern
+    # for iterative algorithms; values are unchanged (the fold is
+    # bit-deterministic either way) but iters-1 read ramps disappear
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["embedding"]).materialize()
 
     for _ in range(iters):
         cents_ref = ray.put(cents)

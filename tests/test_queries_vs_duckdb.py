@@ -127,6 +127,10 @@ ROWS_ONLY = {
     # PCA: eigendecomposition — reference-pinned (tests/test_pca.py,
     # straight-line numpy replay + planted-structure recovery)
     "embedding_pca",
+    # ridge linear probe: matrix solve — reference-pinned
+    # (tests/test_probe.py, straight-line numpy replay +
+    # planted-separable recovery)
+    "quality_probe",
 }
 
 
