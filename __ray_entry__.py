@@ -447,7 +447,46 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # + stateless scoring scan; rows-only like the PCA/sketch
         # families, pinned by tests/test_probe.py
         "quality_probe": _quality_probe,
+        # r5 third session: snapshot change-data-capture (old→new
+        # corpus diff over ONE text scan + one slim digest exchange;
+        # output bounded by churn)
+        "snapshot_diff": _snapshot_diff,
+        # r5: bounded inverted-index build (df pass → broadcast term
+        # set → postings pass; exchange ≤ df_hi × |index terms| rows)
+        "inverted_index": _inverted_index,
+        # r5: multi-way star join (lineitem ⋈ orders ⋈ customer ⋈
+        # nation — TPC-H Q5 shape) via TWO chained union+groupby
+        # co-location hops + one bounded fold; no Dataset.join ramp
+        "revenue_by_nation_year": _revenue_by_nation_year,
+        # r5: per-dim symmetric int8 scalar quantization (FAISS SQ8
+        # analogue) — ONE d-long MAX fold + broadcast scales +
+        # stateless encode scan; exact-integer codes/recon → SQL twin
+        "quantize_embeddings": _quantize_embeddings,
     }
+
+
+def _snapshot_diff(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.delta import snapshot_diff
+
+    return snapshot_diff(sf_dir)
+
+
+def _inverted_index(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.textindex import inverted_index
+
+    return inverted_index(sf_dir)
+
+
+def _revenue_by_nation_year(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.starjoin import revenue_by_nation_year
+
+    return revenue_by_nation_year(sf_dir)
+
+
+def _quantize_embeddings(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.quant import quantize_embeddings
+
+    return quantize_embeddings(sf_dir)
 
 
 def _quality_probe(sf_dir: str):
@@ -528,6 +567,10 @@ def oracle_sql() -> dict[str, str]:
 # (the bigram_fluency_sql / source_overlap_sql pattern): engine default
 # and oracle constant are ONE value, so calling an op with a
 # non-default argument can't silently diverge from the parity oracle
+from pdf_ocr_api_ray.pipelines.textindex import (  # noqa: E402
+    DF_HI as _IDX_DF_HI,
+    DF_LO as _IDX_DF_LO,
+)
 from pdf_ocr_api_ray.pipelines.events import (  # noqa: E402
     ACTIVE_USERS_WINDOW_DAYS as _AU_WINDOW_DAYS,
     COHORT_WEEK_DAYS as _COHORT_WEEK_DAYS,
@@ -1341,5 +1384,88 @@ _RELATIONAL_ORACLES = {
                                           ORDER BY round(sim, 9) DESC, neg_id) AS rank
                 FROM sims
             ) WHERE rank <= 5
+        """,
+        # ---- r5 third-session ops ----
+        "snapshot_diff": r"""
+            -- new snapshot regenerated with the engine's arithmetic:
+            -- %11 removed, surviving %7 first-token-doubled, %13 also
+            -- re-added at +3e6 with a 'NEW ' prefix; '' (not NULL)
+            -- stands in for the absent side so value hashing is stable
+            WITH newsnap AS (
+                SELECT doc_id, regexp_replace(text, '^(\S+)', '\1 \1') AS text
+                FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 3000000 AS doc_id, 'NEW ' || text AS text
+                FROM documents WHERE doc_id % 13 = 0
+            ), o AS (SELECT doc_id, md5(text) AS h FROM documents),
+               n AS (SELECT doc_id, md5(text) AS h FROM newsnap)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   coalesce(o.h, '') AS old_md5, coalesce(n.h, '') AS new_md5
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+        """,
+        "inverted_index": rf"""
+            -- df window [{_IDX_DF_LO}, {_IDX_DF_HI}] interpolated from
+            -- the op module (engine default and oracle constant are ONE
+            -- value); postings = ordered string_agg ≡ the engine's
+            -- ','-joined sorted ids
+            WITH pairs AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS word
+                FROM documents
+            )
+            SELECT word, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS postings
+            FROM pairs GROUP BY word
+            HAVING count(*) BETWEEN {_IDX_DF_LO} AND {_IDX_DF_HI}
+        """,
+        "revenue_by_nation_year": """
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, order_year
+        """,
+        "quantize_embeddings": """
+            -- exact-integer SQ8: micro-unit quantize → per-dim MAX →
+            -- integer round-half-up code and reconstruction — identical
+            -- int64 arithmetic to the engine, so codes are bit-equal
+            WITH el AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id, i,
+                       CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vu
+                FROM el
+            ), a AS (
+                SELECT i, max(abs(vu)) AS amax FROM q GROUP BY i
+            ), cc AS (
+                SELECT vec_id, q.i, vu, amax,
+                       CASE WHEN amax = 0 THEN 0
+                            ELSE (CASE WHEN vu >= 0 THEN 1 ELSE -1 END)
+                                 * ((abs(vu) * 254 + amax) // (2 * amax)) END AS code
+                FROM q JOIN a ON q.i = a.i
+            ), r AS (
+                SELECT vec_id, i, vu, code,
+                       CASE WHEN amax = 0 THEN 0
+                            ELSE (CASE WHEN code >= 0 THEN 1 ELSE -1 END)
+                                 * ((2 * abs(code) * amax + 127) // 254) END AS recon
+                FROM cc
+            )
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+                   string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes,
+                   CAST(max(abs(vu - recon)) AS BIGINT) AS max_err_u
+            FROM r GROUP BY vec_id
         """,
     }
