@@ -159,6 +159,35 @@ def elementwise_fold(ds, per_batch, combine, dtype, shape):
     return np.frombuffer(out["blob"].iloc[0], dtype=dtype).reshape(shape).copy()
 
 
+def smalltable_fold(ds, combine, fan: int = 32) -> pd.DataFrame:
+    """In-cluster reduction of a SMALL keyed table — the variable-key
+    sibling of ``elementwise_fold``. ``ds`` already holds per-block
+    partial rows (each block pre-reduced to ≤ a bounded number of keyed
+    rows); ``combine(df) -> df`` re-reduces a concatenation of partials
+    (e.g. a pandas groupby-sum). Partials fold through a ``fan``-way
+    then single-block pass, so the driver receives ONE combined frame.
+
+    Motivation (measured, sf0.1 / 32 CPUs): a keyed
+    ``groupby(...).aggregate(...)`` over a few thousand partial rows
+    pays ~3 s of fixed aggregator/exchange ramp per execution; this
+    fold is scan-dominated (~0.3 s on the same input). Use it whenever
+    the post-partial row count is metadata-bounded (histograms,
+    per-type stats, boundary-bin collects) — NOT for data-sized keys."""
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return combine(df)
+
+    return (
+        ds.repartition(fan)
+        .map_batches(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def embedding_table_meta(path: str) -> tuple[int, int]:
     """(row_count, embedding_dim) from parquet METADATA only — no data
     scan beyond one row group. Directory-aware: the engine's resumable

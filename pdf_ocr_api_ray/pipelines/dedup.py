@@ -1298,7 +1298,6 @@ def source_overlap(sf_dir: str, n: int = 3, num_buckets: int = 256):
     the same way) cannot break parity.
     """
     import ray  # noqa: F401  (parity with sibling ops' lazy imports)
-    from ray.data.aggregate import Sum
 
     from .curation import _flat_grams
 
@@ -1345,13 +1344,18 @@ def source_overlap(sf_dir: str, n: int = 3, num_buckets: int = 256):
             }
         )
 
-    agg = (
+    from ._util import smalltable_fold
+
+    # per-bucket partials are ≤ S² + S rows each — a keyed aggregate
+    # over them pays the fixed ~3 s aggregator ramp for nothing; the
+    # small-table fold is scan-dominated
+    agg = smalltable_fold(
         ds.map_batches(shingles, batch_format="pandas")
         .groupby("pb")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["src_a", "src_b"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # ≤ S² + S rows — bounded by source count, not corpus
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        lambda df: df.groupby(["src_a", "src_b"], as_index=False).agg(
+            cnt=("cnt", "sum")
+        ),
     )
     if "src_a" not in agg.columns:  # empty-Dataset schema loss guard
         agg = pd.DataFrame(

@@ -241,6 +241,35 @@ def _quantize_values(sf_dir: str):
     return ds.map_batches(quantize, batch_format="pandas")
 
 
+def _type_meta(q_ds, want_sum: bool = False) -> pd.DataFrame:
+    """Per-event-type (n, [s,] mn, mx) over a quantized projection —
+    WITHOUT a keyed aggregate: each batch pre-reduces to ≤|types| rows
+    and the driver combines (the heavy_hitters discipline). A keyed
+    ``groupby(event_type).aggregate`` here pays ~3 s of fixed
+    aggregator/exchange ramp per execution (measured at sf0.1, 32
+    CPUs) to reduce a handful of types; the partial collect is
+    scan-dominated (0.7 s same input). Driver rows = blocks × types —
+    fine for event-typed telemetry (tens of types); a corpus with
+    ~10⁵+ types should switch back to the keyed shape."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["value_u"]
+        out = {"event_type": g.size().index, "n": g.size().to_numpy(np.int64)}
+        if want_sum:
+            out["s"] = g.sum().to_numpy(np.int64)
+        out["mn"] = g.min().to_numpy(np.int64)
+        out["mx"] = g.max().to_numpy(np.int64)
+        return pd.DataFrame(out)
+
+    parts = q_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return parts
+    aggs = {"n": ("n", "sum"), "mn": ("mn", "min"), "mx": ("mx", "max")}
+    if want_sum:
+        aggs["s"] = ("s", "sum")
+    return parts.groupby("event_type", as_index=False).agg(**aggs)
+
+
 def value_percentiles(sf_dir: str):
     """Exact grouped percentiles (p50/p95 of value per event_type) —
     DISTRIBUTED, no per-group value materialization (the r2 version
@@ -267,23 +296,15 @@ def value_percentiles(sf_dir: str):
     import math
 
     import ray
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     # three passes read the quantized projection — materialize it once
     # (16 B/row; object-store spill covers the extreme case, and even
     # then beats three reads + three quantize kernels)
     q_ds = _quantize_values(sf_dir).materialize()
 
-    # pass 1: per-type n/min/max → needed ranks
-    meta = (
-        q_ds.groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Min("value_u", alias_name="mn"),
-            Max("value_u", alias_name="mx"),
-        )
-        .to_pandas()
-    )
+    # pass 1: per-type n/min/max → needed ranks (per-batch partials +
+    # driver combine — see _type_meta for the measured ramp argument)
+    meta = _type_meta(q_ds)
     if meta.empty:
         # empty events table: every later step would KeyError on the
         # column-less frames — return the schema-carrying empty result
@@ -335,12 +356,14 @@ def value_percentiles(sf_dir: str):
             )
         return pd.concat(outs, ignore_index=True)
 
-    hist = (
-        q_ds.map_batches(hist_partial, batch_format="pandas")
-        .groupby(["event_type", "bin"])
-        .aggregate(Sum("c", alias_name="nb"))
-        .to_pandas()
-    )
+    from ._util import smalltable_fold
+
+    hist = smalltable_fold(
+        q_ds.map_batches(hist_partial, batch_format="pandas"),
+        lambda df: df.groupby(["event_type", "bin"], as_index=False).agg(
+            c=("c", "sum")
+        ),
+    ).rename(columns={"c": "nb"})
 
     # locate the bin of every needed rank; remember ranks-below-bin
     rank_bin: dict[str, dict[int, tuple[int, int]]] = {}  # et -> rank -> (bin, below)
@@ -388,12 +411,12 @@ def value_percentiles(sf_dir: str):
             )
         return pd.concat(outs, ignore_index=True)
 
-    vals = (
-        q_ds.map_batches(val_partial, batch_format="pandas")
-        .groupby(["event_type", "value_u"])
-        .aggregate(Sum("c", alias_name="n"))
-        .to_pandas()
-    )
+    vals = smalltable_fold(
+        q_ds.map_batches(val_partial, batch_format="pandas"),
+        lambda df: df.groupby(["event_type", "value_u"], as_index=False).agg(
+            c=("c", "sum")
+        ),
+    ).rename(columns={"c": "n"})
 
     def rank_value(et: str, r: int) -> int:
         b, below = rank_bin[et][r]
@@ -977,20 +1000,12 @@ def trimmed_stats(sf_dir: str, trim_pct: int = TRIMMED_STATS_TRIM_PCT):
     import math
 
     import ray
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     q_ds = _quantize_values(sf_dir).materialize()
 
-    meta = (
-        q_ds.groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("value_u", alias_name="s"),
-            Min("value_u", alias_name="mn"),
-            Max("value_u", alias_name="mx"),
-        )
-        .to_pandas()
-    )
+    # per-batch partials + driver combine (see _type_meta) — saves the
+    # ~3 s keyed-aggregate ramp per execution
+    meta = _type_meta(q_ds, want_sum=True)
     if meta.empty:
         return pd.DataFrame(
             {
@@ -1088,12 +1103,15 @@ def trimmed_stats(sf_dir: str, trim_pct: int = TRIMMED_STATS_TRIM_PCT):
             )
         return pd.concat(outs, ignore_index=True)
 
-    vals = (
-        q_ds.map_batches(val_partial, batch_format="pandas")
-        .groupby(["event_type", "value_u"])
-        .aggregate(Sum("c", alias_name="n"))
-        .to_pandas()
-    )
+    from ._util import smalltable_fold
+
+    # combine keeps the partials' schema (fold passes re-apply it)
+    vals = smalltable_fold(
+        q_ds.map_batches(val_partial, batch_format="pandas"),
+        lambda df: df.groupby(["event_type", "value_u"], as_index=False).agg(
+            c=("c", "sum")
+        ),
+    ).rename(columns={"c": "n"})
 
     rows = []
     for et in sorted(bounds):
