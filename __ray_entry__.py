@@ -240,23 +240,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # long-green json_props_stats (events family still holds 6
         # registry rows)
         "trimmed_stats": events.trimmed_stats,
-        # text analysis (doc_stats fuses the former lang_id /
-        # quality_score / token_count_bpe projections; fingerprint
-        # fuses fingerprint_winnow — one scan each, same columns, and
-        # the query count stays within the driver's 50-row cap)
-        "document_merge": text.document_merge,
+        # r5 SIXTEENTH rotation (third session): the four new
+        # SQL-twinned ops take driver rows — snapshot change-data-
+        # capture, the bounded inverted index, the TPC-H-Q5-shape star
+        # join, and exact-integer SQ8 quantization — and four rows with
+        # multiple green driver rounds each (document_merge,
+        # ngram_jaccard_pairs, embedding_near_dup, span_split) move to
+        # rotated_out_queries(), keeping the identical pytest oracle
+        # gate; every family stays registry-represented (text via
+        # doc-stats-consuming rows + tfidf/heavy_hitters, dedup via
+        # exact/minhash/incremental/clusters/segments, embeddings via
+        # ann_topk_ivf + the ANN miners + quantize_embeddings, spans
+        # via extract_layout + extract_documents)
+        "snapshot_diff": _snapshot_diff,
+        "inverted_index": _inverted_index,
+        "revenue_by_nation_year": _revenue_by_nation_year,
+        "quantize_embeddings": _quantize_embeddings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "training_prep": prep.training_prep,
         # similarity / embeddings
         "ann_topk_ivf": similarity.ann_topk_ivf,
-        "embedding_near_dup": similarity.embedding_near_dup,
-        # multimodal plumbing (stubbed decode; resize/frame-sample chain)
         # span surgery (Adobe sample-family analogues, SURVEY.md §2.3;
         # SQL-verified via corpus-regen oracles + test_spanops kernels)
-        "span_split": spanops.split_chunks,
         "extract_layout": spanops.extract_layout,
         # r4 SECOND rotation: the five curation operators built this
         # round (all integer/string outputs or bit-exact IEEE floats —
@@ -447,21 +454,13 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # + stateless scoring scan; rows-only like the PCA/sketch
         # families, pinned by tests/test_probe.py
         "quality_probe": _quality_probe,
-        # r5 third session: snapshot change-data-capture (old→new
-        # corpus diff over ONE text scan + one slim digest exchange;
-        # output bounded by churn)
-        "snapshot_diff": _snapshot_diff,
-        # r5: bounded inverted-index build (df pass → broadcast term
-        # set → postings pass; exchange ≤ df_hi × |index terms| rows)
-        "inverted_index": _inverted_index,
-        # r5: multi-way star join (lineitem ⋈ orders ⋈ customer ⋈
-        # nation — TPC-H Q5 shape) via TWO chained union+groupby
-        # co-location hops + one bounded fold; no Dataset.join ramp
-        "revenue_by_nation_year": _revenue_by_nation_year,
-        # r5: per-dim symmetric int8 scalar quantization (FAISS SQ8
-        # analogue) — ONE d-long MAX fold + broadcast scales +
-        # stateless encode scan; exact-integer codes/recon → SQL twin
-        "quantize_embeddings": _quantize_embeddings,
+        # r5 sixteenth rotation: four multi-round-green rows made room
+        # for the third-session ops (snapshot_diff / inverted_index /
+        # revenue_by_nation_year / quantize_embeddings, now registry)
+        "document_merge": text.document_merge,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "embedding_near_dup": similarity.embedding_near_dup,
+        "span_split": spanops.split_chunks,
     }
 
 
