@@ -461,7 +461,19 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup": similarity.embedding_near_dup,
         "span_split": spanops.split_chunks,
+        # r5: exact per-type 3σ outlier detection — the quadratic
+        # inequality solved ONCE per type with arbitrary-precision ints
+        # (driver-side isqrt cutoffs), scan = broadcast int64 range
+        # filter; the HUGEINT SQL twin evaluates the same inequality
+        # directly, so a cutoff-derivation bug breaks parity
+        "zscore_outliers": _zscore_outliers,
     }
+
+
+def _zscore_outliers(sf_dir: str):
+    from pdf_ocr_api_ray.pipelines.outliers import zscore_outliers
+
+    return zscore_outliers(sf_dir)
 
 
 def _snapshot_diff(sf_dir: str):
@@ -1385,6 +1397,27 @@ _RELATIONAL_ORACLES = {
             ) WHERE rank <= 5
         """,
         # ---- r5 third-session ops ----
+        "zscore_outliers": """
+            -- the engine derives exact integer cutoffs per type with
+            -- arbitrary-precision isqrt; this twin evaluates the SAME
+            -- quadratic inequality directly in HUGEINT (int128) —
+            -- strict >, population sigma
+            WITH q AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_u
+                FROM events
+            ), s AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(value_u) AS HUGEINT) AS sv,
+                       sum(CAST(value_u AS HUGEINT) * value_u) AS qq
+                FROM q GROUP BY event_type
+            )
+            SELECT q.event_id, q.user_id, q.event_type, q.value_u
+            FROM q JOIN s USING (event_type)
+            WHERE (s.n * q.value_u - s.sv) * (s.n * q.value_u - s.sv)
+                  > 9 * (s.n * s.qq - s.sv * s.sv)
+        """,
         "snapshot_diff": r"""
             -- new snapshot regenerated with the engine's arithmetic:
             -- %11 removed, surviving %7 first-token-doubled, %13 also
