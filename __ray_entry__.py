@@ -117,8 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         prep,
         dedup,
         events,
+        graph,
         htmlx,
-        media,
         relational,
         sampling,
         similarity,
@@ -165,7 +165,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percent_rank quality calibration
         "select_token_budget": text.select_token_budget,
         "quality_percentile_by_lang": text.quality_percentile_by_lang,
-        "media_decode_ppm": media.media_decode_ppm,
+        # r5 SEVENTEENTH rotation: the two fourth-session ops take
+        # driver rows — exact-integer PageRank over the deterministic
+        # domain graph (the crawl-prioritization signal; zero keyed
+        # exchanges, K scan+fold iterations) and the per-user Markov
+        # transition matrix (one user-hash exchange + smalltable_fold).
+        # media_decode_ppm (driver-green r3+) and top_orders (green
+        # since r1) move to rotated_out_queries() and keep the
+        # identical pytest oracle gate.
+        "pagerank_domains": graph.pagerank_domains,
+        "event_transitions": events.event_transitions,
         # relational coverage
         # r4 THIRD rotation: deterministic epoch shuffle, unigram-LM
         # familiarity scoring, and the exact KNN graph built this round
@@ -214,7 +223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": curation.collocations,
         "anomaly_days": events.anomaly_days,
         "pricing_summary": relational.pricing_summary,
-        "top_orders": relational.top_orders,
         # r4 seventh swap: incremental dedup (new-crawl increment vs an
         # existing corpus — Bloom-fold + exact verify) in for the
         # r1-green top_customers_per_segment
@@ -341,6 +349,10 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # room for hard_negatives_ann / knn_graph_ann in the registry
         "hard_negatives": similarity.hard_negatives,
         "knn_graph": similarity.knn_graph,
+        # r5 seventeenth rotation: made room for pagerank_domains /
+        # event_transitions in the registry
+        "top_orders": relational.top_orders,
+        "media_decode_ppm": media.media_decode_ppm,
         "part_type_counts": relational.part_type_counts,
         "span_delete": spanops.delete_chunks,
         "span_reorder": spanops.reorder_chunks,

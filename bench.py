@@ -119,7 +119,14 @@ def run_bench() -> dict:
     from pdf_ocr_api_ray.pipelines import pca as pca_mod
     from pdf_ocr_api_ray.pipelines import probe as probe_mod
     from pdf_ocr_api_ray.pipelines import pq as pq_mod
-    from pdf_ocr_api_ray.pipelines import delta, outliers, quant, starjoin, textindex
+    from pdf_ocr_api_ray.pipelines import (
+        delta,
+        graph,
+        outliers,
+        quant,
+        starjoin,
+        textindex,
+    )
     from pdf_ocr_api_ray.pipelines.extraction import build_extraction
 
     corpus_path, n_docs, n_chunks = build_corpus()
@@ -237,6 +244,9 @@ def run_bench() -> dict:
     timeq("revenue_by_nation_year", starjoin.revenue_by_nation_year)
     timeq("quantize_embeddings", quant.quantize_embeddings, consume="count")
     timeq("zscore_outliers", outliers.zscore_outliers, consume="count")
+    # r5 fourth session: exact-integer PageRank + Markov transitions
+    timeq("pagerank_domains", graph.pagerank_domains)
+    timeq("event_transitions", events.event_transitions)
     # r5 late additions: cohort matrix + exact-integer PCA
     timeq("cohort_retention", events.cohort_retention)
     timeq("embedding_pca", pca_mod.embedding_pca, consume="count")

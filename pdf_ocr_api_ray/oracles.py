@@ -1339,4 +1339,73 @@ def corpus_oracles() -> dict[str, str]:
                    sum(CASE WHEN n_tokens > 0 THEN (n_tokens + 31) // 32 ELSE 0 END) AS n_chunks
             FROM k GROUP BY lang
         """,
+        # r5 fourth-session additions: exact-integer PageRank over the
+        # deterministic domain graph + per-user Markov transitions
+        "pagerank_domains": pagerank_domains_sql(),
+        "event_transitions": event_transitions_sql(),
     }
+
+
+def pagerank_domains_sql() -> str:
+    """K-unrolled exact-integer PageRank twin. Rebuilds the identical
+    deterministic domain graph (little-endian md5 mod D — the
+    _md5_le64 arithmetic) and replays graph.pagerank_domains' int64
+    contract verbatim: per-EDGE floor division r//outw, damped update
+    BASE + (DAMP*c)//100, all in DuckDB integer arithmetic (HUGEINT
+    sums, // floor division on positives). Constants are imported from
+    the op module so a default drift breaks loudly, not silently."""
+    from pdf_ocr_api_ray.pipelines.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        N_DOMAINS,
+        N_ITERS,
+        OUT_LINKS,
+        RANK_SCALE,
+    )
+
+    D, L, K, S = N_DOMAINS, OUT_LINKS, N_ITERS, RANK_SCALE
+    base = (S * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    src_h = _md5_le64("'dom|'||CAST(doc_id AS VARCHAR)")
+    dst_h = _md5_le64("'lnk|'||CAST(doc_id AS VARCHAR)||'|'||CAST(j AS VARCHAR)")
+    src = f"CAST({src_h} % {D} AS BIGINT)"
+    dst = f"CAST({dst_h} % {D} AS BIGINT)"
+    iters, prev = "", "r0"
+    for t in range(1, K + 1):
+        iters += f""",
+c{t} AS (SELECT e.dst AS v, SUM({prev}.r // ow.outw) AS c
+        FROM e JOIN ow USING (src) JOIN {prev} ON {prev}.v = e.src GROUP BY e.dst),
+r{t} AS (SELECT d.v, CAST({base} + ({DAMP_NUM} * COALESCE(c{t}.c, 0)) // {DAMP_DEN} AS BIGINT) AS r
+        FROM d LEFT JOIN c{t} ON c{t}.v = d.v)"""
+        prev = f"r{t}"
+    return f"""
+WITH e AS (
+  SELECT {src} AS src, {dst} AS dst
+  FROM documents, range({L}) t(j)
+),
+ow AS (SELECT src, count(*) AS outw FROM e GROUP BY src),
+d AS (SELECT CAST(range AS BIGINT) AS v FROM range({D})),
+r0 AS (SELECT v, CAST({S} AS BIGINT) AS r FROM d){iters}
+SELECT d.v AS domain, {prev}.r AS rank_u,
+       CAST(COALESCE(ow.outw, 0) // {L} AS BIGINT) AS n_docs
+FROM d JOIN {prev} ON {prev}.v = d.v LEFT JOIN ow ON ow.src = d.v
+ORDER BY domain"""
+
+
+def event_transitions_sql() -> str:
+    """lag()-window twin of events.event_transitions: consecutive-event
+    pairs per user under the same total order (ts, event_id), counts
+    grouped exactly, probabilities quantized with the op module's
+    P_SCALE in integer arithmetic (HUGEINT product, // floor)."""
+    from pdf_ocr_api_ray.pipelines.events import P_SCALE
+
+    return f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+c AS (SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST((n * {P_SCALE}) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_u
+FROM c ORDER BY prev_type, next_type"""

@@ -1343,3 +1343,83 @@ def cohort_retention(
     agg["week_offset"] = agg["week_offset"].astype(np.int64)
     agg["n_users"] = agg["n_users"].astype(np.int64)
     return agg[["cohort_week", "week_offset", "n_users"]]
+
+
+P_SCALE = 1_000_000  # transition-probability quantizer (exact int64)
+
+
+def event_transitions(
+    sf_dir: str, num_buckets: int = NUM_KEY_BUCKETS, p_scale: int = P_SCALE
+):
+    """Per-user next-event Markov transition matrix — the event-stream
+    bigram model behind funnel design and session-LM features: for
+    every ordered pair of consecutive events of one user (ordered by
+    ``(ts, event_id)``; event_id is unique so the order is total),
+    count the ``prev_type → next_type`` transition and quantize its
+    row-conditional probability to exact integers
+    (``p_u = n * P_SCALE // row_total``). Output one row per observed
+    transition: ``(prev_type, next_type, n, p_u)``.
+
+    Distributed shape: adjacency is a per-user property, so ONE
+    user-hash keyed exchange (the sessionize idiom) co-locates each
+    user's events; inside a bucket the pair extraction is a vectorized
+    shift-compare (no per-user Python). Each bucket emits ≤ T² partial
+    rows (T = #event types — METADATA-bounded), so the final merge is
+    a ``smalltable_fold``, never a second keyed exchange. The driver
+    holds ≤ fan·T² rows at any point.
+
+    int64 headroom: ``n·P_SCALE`` must fit — guarded, raises past
+    ~9.2e12 transitions per cell (the asserted-cap pattern)."""
+    from ._util import smalltable_fold
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = (df["user_id"].to_numpy() % num_buckets).astype(np.int32)
+        return df
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        same_user = g["user_id"].to_numpy() == np.roll(g["user_id"].to_numpy(), 1)
+        same_user[0] = False
+        prev = g["event_type"].shift(1)
+        pairs = pd.DataFrame(
+            {"prev_type": prev.to_numpy(), "next_type": g["event_type"].to_numpy()}
+        )[same_user]
+        part = (
+            pairs.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return part
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    merged = smalltable_fold(
+        partials,
+        lambda df: df.groupby(["prev_type", "next_type"], as_index=False)["n"].sum(),
+    )
+    if not len(merged) or "prev_type" not in merged.columns:
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series([], dtype=str),
+                "next_type": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype="int64"),
+                "p_u": pd.Series([], dtype="int64"),
+            }
+        )
+    merged["n"] = merged["n"].astype(np.int64)
+    if merged["n"].max() > (2**63 - 1) // p_scale:
+        raise OverflowError("transition count exceeds the P_SCALE int64 headroom")
+    tot = merged.groupby("prev_type")["n"].transform("sum").astype(np.int64)
+    merged["p_u"] = (merged["n"] * int(p_scale)) // tot
+    return merged.sort_values(
+        ["prev_type", "next_type"], ignore_index=True
+    )[["prev_type", "next_type", "n", "p_u"]]
