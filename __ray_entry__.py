@@ -153,8 +153,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "range_join_events": events.range_join_events,
         "pack_sequences": sampling.pack_sequences,
-        "sample_stratified": sampling.sample_stratified,
-        "group_topk": sampling.group_topk,
+        # r5 EIGHTEENTH rotation: per-user interval union
+        # (gaps-and-islands — one user-hash exchange, vectorized
+        # cummax island scan) and layout-free global row numbering
+        # (histogram-offset exact rank: two (B,)/(2,) folds + one
+        # range-bucket exchange) take driver rows; sample_stratified /
+        # group_topk (driver-green r4+) keep the identical pytest
+        # oracle gate in rotated_out_queries()
+        "coalesce_intervals": events.coalesce_intervals,
+        "global_row_number": sampling.global_row_number,
         # r5 THIRTEENTH rotation (VERDICT r4 ask #1): the two rows-only
         # ops (value_percentiles_sketch — t-digest sketch; the driver
         # recorded err="no_oracle" on both) swap OUT to the rotated_out
@@ -353,6 +360,10 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # event_transitions in the registry
         "top_orders": relational.top_orders,
         "media_decode_ppm": media.media_decode_ppm,
+        # r5 eighteenth rotation: made room for coalesce_intervals /
+        # global_row_number in the registry
+        "sample_stratified": sampling.sample_stratified,
+        "group_topk": sampling.group_topk,
         "part_type_counts": relational.part_type_counts,
         "span_delete": spanops.delete_chunks,
         "span_reorder": spanops.reorder_chunks,

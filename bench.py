@@ -247,6 +247,8 @@ def run_bench() -> dict:
     # r5 fourth session: exact-integer PageRank + Markov transitions
     timeq("pagerank_domains", graph.pagerank_domains)
     timeq("event_transitions", events.event_transitions)
+    timeq("coalesce_intervals", events.coalesce_intervals, consume="count")
+    timeq("global_row_number", sampling.global_row_number, consume="count")
     # r5 late additions: cohort matrix + exact-integer PCA
     timeq("cohort_retention", events.cohort_retention)
     timeq("embedding_pca", pca_mod.embedding_pca, consume="count")

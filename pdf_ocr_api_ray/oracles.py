@@ -1343,6 +1343,8 @@ def corpus_oracles() -> dict[str, str]:
         # deterministic domain graph + per-user Markov transitions
         "pagerank_domains": pagerank_domains_sql(),
         "event_transitions": event_transitions_sql(),
+        "coalesce_intervals": coalesce_intervals_sql(),
+        "global_row_number": global_row_number_sql(),
     }
 
 
@@ -1409,3 +1411,36 @@ c AS (SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
 SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
        CAST((n * {P_SCALE}) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_u
 FROM c ORDER BY prev_type, next_type"""
+
+
+def coalesce_intervals_sql() -> str:
+    """Gaps-and-islands twin of events.coalesce_intervals: identical
+    integer-microsecond intervals (epoch_us + quantized |value| +
+    INTERVAL_MIN_US), the same STRICT s > prev_max island opener
+    (touching intervals merge), same (s, e, event_id) total order."""
+    from pdf_ocr_api_ray.pipelines.events import INTERVAL_MIN_US
+
+    return f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + abs(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) + {INTERVAL_MIN_US} AS e,
+         event_id
+  FROM events
+),
+m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv),
+fl AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS isl FROM m),
+g AS (SELECT *, SUM(isl) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island FROM fl)
+SELECT user_id, min(s) AS start_us, max(e) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, island"""
+
+
+def global_row_number_sql() -> str:
+    """row_number() twin of sampling.global_row_number — the engine's
+    histogram-offset + range-bucket assignment must equal the global
+    ORDER BY rank exactly."""
+    return (
+        "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS row_no"
+        " FROM documents"
+    )

@@ -1423,3 +1423,72 @@ def event_transitions(
     return merged.sort_values(
         ["prev_type", "next_type"], ignore_index=True
     )[["prev_type", "next_type", "n", "p_u"]]
+
+
+INTERVAL_MIN_US = 1_000_000  # every event occupies at least 1 s
+
+
+def coalesce_intervals(sf_dir: str, num_buckets: int = NUM_KEY_BUCKETS):
+    """Per-user interval union (gaps-and-islands): each event occupies
+    ``[ts, ts + dur)`` where ``dur`` derives from the event's value in
+    exact integer microseconds (``|floor(value·1e6 + 0.5)| +
+    INTERVAL_MIN_US``); overlapping or touching intervals of one user
+    merge into islands. The canonical coverage/uptime computation —
+    sessionize's sibling where extents matter, not gaps. Output one row
+    per island: ``(user_id, start_us, end_us, n_events)``.
+
+    Distributed shape: island membership is a per-user property, so
+    ONE user-hash keyed exchange co-locates each user's intervals;
+    inside a bucket the island scan is vectorized (sort by
+    ``(s, e, event_id)``, per-user shifted cummax of ``e``, island ids
+    by grouped cumsum — no per-user Python). Output is data-sized and
+    stays a Dataset; nothing collects to the driver. A strictly-later
+    start (``s > prev_max``) opens an island, so touching intervals
+    (``s == prev_max``) merge — the SQL twin encodes the identical
+    strictness."""
+    ds = read_parquet_clean(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def to_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["ts"].astype("datetime64[us]").astype("int64")
+        value_u = np.floor(df["value"].to_numpy(np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "s": s,
+                "e": s + np.abs(value_u) + INTERVAL_MIN_US,
+                "event_id": df["event_id"].astype("int64"),
+                "ub": (df["user_id"].to_numpy() % num_buckets).astype(np.int32),
+            }
+        )
+
+    def bucket_islands(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "s", "e", "event_id"])
+        u = g["user_id"].to_numpy()
+        e_cummax = g.groupby("user_id", sort=False)["e"].cummax()
+        prev_max = e_cummax.shift(1).to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        new_island = first | (g["s"].to_numpy() > np.where(first, -(2**62), prev_max))
+        island = np.cumsum(new_island)
+        agg = g.groupby([u, island], sort=False).agg(
+            start_us=("s", "min"), end_us=("e", "max"), n_events=("s", "size")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.get_level_values(0).astype("int64"),
+                "start_us": agg["start_us"].astype("int64").to_numpy(),
+                "end_us": agg["end_us"].astype("int64").to_numpy(),
+                "n_events": agg["n_events"].astype("int64").to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(to_intervals, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(bucket_islands, batch_format="pandas")
+    )

@@ -517,3 +517,85 @@ def curriculum_order(sf_dir: str, seed: int = 1, stage_width: int = 100):
         .groupby("cell")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+RANK_BUCKETS = 1024  # range-partition width for global rank assignment
+
+
+def global_row_number(sf_dir: str, num_buckets: int = RANK_BUCKETS):
+    """Deterministic global row numbering — the distributed
+    zipWithIndex every sharder/curriculum/sampler wants, defined
+    LAYOUT-FREE: ``row_no`` is the 0-based rank of ``doc_id`` in
+    ascending order (ids are unique), so the numbering is identical
+    across block layouts, cluster sizes and resumes — never "position
+    in whatever order the blocks arrived".
+
+    Two-phase exact-rank shape (the value_percentiles rank-locate
+    discipline applied to assignment):
+
+    1. ONE (B,) int64 histogram ``elementwise_fold`` counts ids per
+       RANGE bucket (``(id - min) // width``; min/max from a (2,)
+       MIN/MAX fold — footer stats can lie about deleted rows, counts
+       cannot). Driver state is the B-bounded histogram, never ids.
+    2. Exclusive prefix sums over the histogram broadcast as the
+       per-bucket base offsets; ONE range-bucket keyed exchange sorts
+       each bucket locally and emits ``offset[b] + local_rank`` —
+       range buckets make local sort order globally correct.
+
+    Output ``(doc_id, row_no)`` stays a data-sized Dataset. Skew note:
+    range buckets inherit the id distribution; ids here are
+    near-uniform (TPC-H-ish dense keys). For adversarial id
+    distributions, compose with the md5-draw shuffle first
+    (epoch_shuffle) or raise ``num_buckets``."""
+    import ray
+
+    from ._util import elementwise_fold
+
+    B = int(num_buckets)
+    if B <= 0:
+        raise ValueError("num_buckets must be positive")
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"]).materialize()
+
+    def minmax(df: pd.DataFrame) -> np.ndarray:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return np.array([ids.min(), -ids.max()], dtype=np.int64)
+
+    mm = elementwise_fold(ds, minmax, np.minimum, np.int64, (2,))
+    lo, hi = int(mm[0]), int(-mm[1])
+    width = max(1, (hi - lo + B) // B)  # ceil((hi-lo+1)/B)
+
+    hist = elementwise_fold(
+        ds,
+        lambda df: np.bincount(
+            (df["doc_id"].to_numpy(np.int64) - lo) // width, minlength=B
+        ).astype(np.int64),
+        np.add,
+        np.int64,
+        (B,),
+    )
+    offsets = np.zeros(B, dtype=np.int64)
+    np.cumsum(hist[:-1], out=offsets[1:])
+    off_ref = ray.put(offsets)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rb"] = ((df["doc_id"].to_numpy(np.int64) - lo) // width).astype(np.int32)
+        return df
+
+    def rank_bucket(group: pd.DataFrame, _o=off_ref) -> pd.DataFrame:
+        offs = ray.get(_o)
+        ids = np.sort(group["doc_id"].to_numpy(np.int64))
+        b = int(group["rb"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "row_no": offs[b] + np.arange(len(ids), dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("rb")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
