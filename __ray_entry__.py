@@ -364,6 +364,8 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # global_row_number in the registry
         "sample_stratified": sampling.sample_stratified,
         "group_topk": sampling.group_topk,
+        # r5 fourth-session market-basket op (pytest oracle gate)
+        "event_cooccurrence": events.event_cooccurrence,
         "part_type_counts": relational.part_type_counts,
         "span_delete": spanops.delete_chunks,
         "span_reorder": spanops.reorder_chunks,

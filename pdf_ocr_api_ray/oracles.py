@@ -1345,6 +1345,7 @@ def corpus_oracles() -> dict[str, str]:
         "event_transitions": event_transitions_sql(),
         "coalesce_intervals": coalesce_intervals_sql(),
         "global_row_number": global_row_number_sql(),
+        "event_cooccurrence": event_cooccurrence_sql(),
     }
 
 
@@ -1444,3 +1445,23 @@ def global_row_number_sql() -> str:
         "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS row_no"
         " FROM documents"
     )
+
+
+def event_cooccurrence_sql() -> str:
+    """Distinct-pair self-join twin of events.event_cooccurrence with
+    the identical integer lift quantization (HUGEINT product, //)."""
+    from pdf_ocr_api_ray.pipelines.events import COOC_SCALE
+
+    return f"""
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT count(DISTINCT user_id) AS t FROM events),
+s AS (SELECT event_type, count(*) AS n1 FROM du GROUP BY event_type),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, CAST(p.n AS BIGINT) AS n_users,
+       CAST((p.n * tot.t * {COOC_SCALE}) // (sa.n1 * sb.n1) AS BIGINT) AS lift_u
+FROM p, tot
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b"""

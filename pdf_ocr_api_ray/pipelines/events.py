@@ -1492,3 +1492,100 @@ def coalesce_intervals(sf_dir: str, num_buckets: int = NUM_KEY_BUCKETS):
         .groupby("ub")
         .map_groups(bucket_islands, batch_format="pandas")
     )
+
+
+COOC_SCALE = 1_000_000  # lift quantizer (exact int64 rational ranking)
+
+
+def event_cooccurrence(sf_dir: str, num_buckets: int = NUM_KEY_BUCKETS):
+    """Event-type co-occurrence (market-basket over user baskets): for
+    every unordered pair of DISTINCT event types a user has ever
+    emitted, count co-occurring users and rank by quantized lift —
+    the association signal behind co-click features and negative-
+    sampling tables. Output one row per observed pair
+    ``(type_a, type_b, n_users, lift_u)`` with ``type_a < type_b`` and
+    ``lift_u = (n_users · n_total_users · COOC_SCALE) // (n_a · n_b)``
+    — an exact integer rational, so ranking equals the SQL twin's
+    bit-for-bit (the collocations log-free discipline).
+
+    Distributed shape: basket membership is per-user, so per-batch
+    distinct ``(user, type)`` rows take ONE user-hash keyed exchange;
+    inside a bucket the pair expansion is a vectorized per-user
+    self-merge (the type universe T is metadata-bounded, so the
+    fan-out is ≤T²/2 rows per user — C-speed hash join, no per-user
+    Python). Each bucket emits ≤T² pair partials, ≤T per-type user
+    counts, and one total-users row — all METADATA-bounded — so the
+    finish is one ``smalltable_fold``, never a second exchange."""
+    from ._util import smalltable_fold
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def distinct_pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "event_type"]].drop_duplicates().copy()
+        out["ub"] = (out["user_id"].to_numpy() % num_buckets).astype(np.int32)
+        return out
+
+    def bucket_partials(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["user_id", "event_type"]].drop_duplicates()
+        m = g.merge(g, on="user_id", suffixes=("_a", "_b"))
+        pairs = (
+            m[m["event_type_a"] < m["event_type_b"]]
+            .groupby(["event_type_a", "event_type_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"event_type_a": "type_a", "event_type_b": "type_b"})
+        )
+        pairs.insert(0, "kind", "pair")
+        singles = (
+            g.groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"event_type": "type_a"})
+        )
+        singles.insert(0, "kind", "single")
+        singles["type_b"] = ""
+        total = pd.DataFrame(
+            {"kind": ["total"], "type_a": [""], "type_b": [""],
+             "n": [g["user_id"].nunique()]}
+        )
+        out = pd.concat(
+            [pairs, singles[["kind", "type_a", "type_b", "n"]], total],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    merged = smalltable_fold(
+        ds.map_batches(distinct_pairs_batch, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(bucket_partials, batch_format="pandas"),
+        lambda df: df.groupby(["kind", "type_a", "type_b"], as_index=False)["n"].sum(),
+    )
+    if not len(merged) or "kind" not in merged.columns:
+        return pd.DataFrame(
+            {
+                "type_a": pd.Series([], dtype=str),
+                "type_b": pd.Series([], dtype=str),
+                "n_users": pd.Series([], dtype="int64"),
+                "lift_u": pd.Series([], dtype="int64"),
+            }
+        )
+    total = int(merged.loc[merged["kind"] == "total", "n"].sum())
+    singles = (
+        merged[merged["kind"] == "single"].set_index("type_a")["n"].astype(np.int64)
+    )
+    pairs = merged[merged["kind"] == "pair"].copy()
+    if len(pairs):
+        na = singles.reindex(pairs["type_a"]).to_numpy(np.int64)
+        nb = singles.reindex(pairs["type_b"]).to_numpy(np.int64)
+        n = pairs["n"].to_numpy(np.int64)
+        # int64 headroom for both the numerator and the na·nb product
+        if int(n.max()) * total > (2**63 - 1) // COOC_SCALE or total > 3_000_000_000:
+            raise OverflowError("co-occurrence counts exceed the lift headroom")
+        pairs["lift_u"] = (n * total * COOC_SCALE) // (na * nb)
+    else:
+        pairs["lift_u"] = pd.Series([], dtype="int64")
+    pairs = pairs.rename(columns={"n": "n_users"})
+    return pairs.sort_values(["type_a", "type_b"], ignore_index=True)[
+        ["type_a", "type_b", "n_users", "lift_u"]
+    ]
