@@ -366,6 +366,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": sampling.group_topk,
         # r5 fourth-session market-basket op (pytest oracle gate)
         "event_cooccurrence": events.event_cooccurrence,
+        # r5 fourth-session grouped-HLL DAU sketch (error-bound gate
+        # vs the exact active_users op — no SQL twin, libm estimator)
+        "daily_active_hll": events.daily_active_hll,
         "part_type_counts": relational.part_type_counts,
         "span_delete": spanops.delete_chunks,
         "span_reorder": spanops.reorder_chunks,

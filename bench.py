@@ -250,6 +250,7 @@ def run_bench() -> dict:
     timeq("coalesce_intervals", events.coalesce_intervals, consume="count")
     timeq("global_row_number", sampling.global_row_number, consume="count")
     timeq("event_cooccurrence", events.event_cooccurrence)
+    timeq("daily_active_hll", events.daily_active_hll)
     # r5 late additions: cohort matrix + exact-integer PCA
     timeq("cohort_retention", events.cohort_retention)
     timeq("embedding_pca", pca_mod.embedding_pca, consume="count")

@@ -1589,3 +1589,94 @@ def event_cooccurrence(sf_dir: str, num_buckets: int = NUM_KEY_BUCKETS):
     return pairs.sort_values(["type_a", "type_b"], ignore_index=True)[
         ["type_a", "type_b", "n_users", "lift_u"]
     ]
+
+
+HLL_P_DAILY = 12  # 4096 registers/day: ~1.6% standard error
+MAX_DAY_SPAN = 4096  # calendar-bounded fold guard
+
+
+def daily_active_hll(sf_dir: str, p: int = HLL_P_DAILY):
+    """Approximate DAU per day via per-key HyperLogLog — the grouped
+    sibling of ``text.distinct_count_hll`` and the sketch that answers
+    "distinct users per day over a 10¹²-event stream" with ZERO keyed
+    exchanges: every batch reduces to ONE (days, 2^p) uint8 register
+    grid, grids merge by elementwise MAX (associative + idempotent —
+    any layout/retry gives the same registers) through
+    ``elementwise_fold``, and the per-day estimates come off the single
+    merged grid. The exact companion is ``active_users`` (one keyed
+    exchange); this is the 100-TB first-pass whose accuracy is pinned
+    against it (tests/test_events_sketch.py pattern).
+
+    The day span is calendar-bounded: a (2,) MIN/MAX fold sizes the
+    grid and refuses spans past MAX_DAY_SPAN rather than folding an
+    unbounded axis. Returns a pandas frame ``(day, dau_est)`` with
+    ``day`` in epoch days (matching the twin-op grain)."""
+    import hashlib
+
+    from ._util import elementwise_fold
+
+    m = 1 << p
+    US_PER_DAY = 86_400_000_000
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["ts", "user_id"]).materialize()
+
+    def day_minmax(df: pd.DataFrame) -> np.ndarray:
+        d = df["ts"].astype("datetime64[us]").astype("int64") // US_PER_DAY
+        return np.array([d.min(), -d.max()], dtype=np.int64)
+
+    mm = elementwise_fold(ds, day_minmax, np.minimum, np.int64, (2,))
+    lo, hi = int(mm[0]), int(-mm[1])
+    span = hi - lo + 1
+    if span <= 0:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype="int64"), "dau_est": pd.Series([], dtype=float)}
+        )
+    if span > MAX_DAY_SPAN:
+        raise ValueError(f"day span {span} exceeds the bounded fold guard")
+
+    def batch_grid(df: pd.DataFrame) -> np.ndarray:
+        # uint8 registers: ranks ≤ 64-p+1 ≤ 53, and the blob is 8×
+        # smaller on the wire than int64
+        M = np.zeros((span, m), dtype=np.uint8)
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64") // US_PER_DAY - lo
+        ).to_numpy(np.int64)
+        pairs = pd.DataFrame({"d": day, "u": df["user_id"].astype("int64")})
+        pairs = pairs.drop_duplicates()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(f"u|{int(u)}".encode()).digest()[:8], "little")
+                for u in pairs["u"]
+            ),
+            dtype=np.uint64,
+            count=len(pairs),
+        )
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
+        # leading-zero masked scan (the distinct_count_hll kernel)
+        rank = np.zeros(len(h), dtype=np.int64)
+        alive = np.ones(len(h), dtype=bool)
+        cur = rest.copy()
+        for _ in range(64 - p):
+            top_zero = (cur >> np.uint64(63)) == 0
+            rank += (alive & top_zero).astype(np.int64)
+            alive &= top_zero
+            if not alive.any():
+                break
+            cur = cur << np.uint64(1)
+        np.maximum.at(M, (pairs["d"].to_numpy(np.int64), reg), (rank + 1).astype(np.uint8))
+        return M
+
+    G = elementwise_fold(ds, batch_grid, np.maximum, np.uint8, (span, m)).astype(
+        np.float64
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-G), axis=1)
+    zeros = (G == 0).sum(axis=1)
+    small = (raw <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        linear = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0))
+    est = np.where(small, linear, raw)
+    active = G.max(axis=1) > 0  # days with no events drop, like the exact op
+    days = np.arange(lo, hi + 1, dtype=np.int64)[active]
+    return pd.DataFrame({"day": days, "dau_est": est[active]})

@@ -517,3 +517,50 @@ def test_cohort_retention_planted(ray_session, tmp_path):
         }
     )
     pd.testing.assert_frame_equal(out, expected)
+
+
+def test_daily_active_hll_error_bound(ray_session):
+    """Grouped-HLL DAU within 5% of the exact op on every day (p=12
+    → ~1.6% standard error; linear counting covers the small range)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_ocr_api_ray.pipelines.events import active_users, daily_active_hll
+
+    est = daily_active_hll(SF)
+    exact = active_users(SF)
+    if not isinstance(exact, pd.DataFrame):
+        exact = exact.to_pandas()
+    exact = exact.copy()
+    exact["day_i"] = (
+        pd.to_datetime(exact["day"]).astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    m = est.merge(exact, left_on="day", right_on="day_i")
+    assert len(m) == len(exact) == len(est)  # same day set as the exact op
+    rel = (m["dau_est"] - m["dau"]).abs() / m["dau"]
+    assert float(rel.max()) < 0.05
+
+
+def test_daily_active_hll_span_guard(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pdf_ocr_api_ray.pipelines.events import daily_active_hll
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "user_id": [1, 2],
+            "ts": pd.to_datetime(["1990-01-01", "2050-01-01"]),
+            "event_type": ["x", "x"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+    with _pytest.raises(ValueError, match="day span"):
+        daily_active_hll(str(tmp_path))

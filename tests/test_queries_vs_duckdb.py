@@ -109,6 +109,9 @@ def test_parity(ray_session, entry_mod, con, name):
 # same spec (tests/test_semdedup.py)
 ROWS_ONLY = {
     "value_percentiles_sketch",
+    # grouped-HLL DAU: libm estimator — error-bound-pinned vs the
+    # exact active_users op (tests/test_events_sketch.py)
+    "daily_active_hll",
     "media_phash_dup",
     "semantic_dedup",
     # PQ: per-subspace k-means + argmin codes — reference-pinned
