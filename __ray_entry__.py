@@ -369,6 +369,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # r5 fourth-session grouped-HLL DAU sketch (error-bound gate
         # vs the exact active_users op — no SQL twin, libm estimator)
         "daily_active_hll": events.daily_active_hll,
+        # r5 fourth-session exact ntile binning (composite-key
+        # rank_by_key kernel; pytest oracle gate)
+        "quality_deciles": text.quality_deciles,
         "part_type_counts": relational.part_type_counts,
         "span_delete": spanops.delete_chunks,
         "span_reorder": spanops.reorder_chunks,

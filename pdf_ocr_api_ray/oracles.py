@@ -1346,6 +1346,7 @@ def corpus_oracles() -> dict[str, str]:
         "coalesce_intervals": coalesce_intervals_sql(),
         "global_row_number": global_row_number_sql(),
         "event_cooccurrence": event_cooccurrence_sql(),
+        "quality_deciles": quality_deciles_sql(),
     }
 
 
@@ -1465,3 +1466,21 @@ FROM p, tot
 JOIN s sa ON sa.event_type = p.type_a
 JOIN s sb ON sb.event_type = p.type_b
 ORDER BY type_a, type_b"""
+
+
+def quality_deciles_sql(k: int = 10) -> str:
+    """ntile(k) window twin of text.quality_deciles over the identical
+    quantized quality lattice (the select_token_budget expression) and
+    the identical (quality DESC, doc_id) total order."""
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(round(10000 * round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+               / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
+               + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
+               4)) AS BIGINT) AS quality_idx
+  FROM documents
+)
+SELECT doc_id, quality_idx,
+       CAST(ntile({k}) OVER (ORDER BY quality_idx DESC, doc_id) AS BIGINT) AS decile
+FROM s"""

@@ -522,31 +522,20 @@ def curriculum_order(sf_dir: str, seed: int = 1, stage_width: int = 100):
 RANK_BUCKETS = 1024  # range-partition width for global rank assignment
 
 
-def global_row_number(sf_dir: str, num_buckets: int = RANK_BUCKETS):
-    """Deterministic global row numbering — the distributed
-    zipWithIndex every sharder/curriculum/sampler wants, defined
-    LAYOUT-FREE: ``row_no`` is the 0-based rank of ``doc_id`` in
-    ascending order (ids are unique), so the numbering is identical
-    across block layouts, cluster sizes and resumes — never "position
-    in whatever order the blocks arrived".
+def rank_by_key(ds, key_col: str, num_buckets: int = RANK_BUCKETS):
+    """Exact 0-based ascending rank of a UNIQUE int64 key column,
+    LAYOUT-FREE — the kernel behind ``global_row_number`` and
+    ``text.quality_deciles``. Adds a ``row_no`` column to ``ds``.
 
-    Two-phase exact-rank shape (the value_percentiles rank-locate
-    discipline applied to assignment):
-
-    1. ONE (B,) int64 histogram ``elementwise_fold`` counts ids per
-       RANGE bucket (``(id - min) // width``; min/max from a (2,)
-       MIN/MAX fold — footer stats can lie about deleted rows, counts
-       cannot). Driver state is the B-bounded histogram, never ids.
-    2. Exclusive prefix sums over the histogram broadcast as the
-       per-bucket base offsets; ONE range-bucket keyed exchange sorts
-       each bucket locally and emits ``offset[b] + local_rank`` —
-       range buckets make local sort order globally correct.
-
-    Output ``(doc_id, row_no)`` stays a data-sized Dataset. Skew note:
-    range buckets inherit the id distribution; ids here are
-    near-uniform (TPC-H-ish dense keys). For adversarial id
-    distributions, compose with the md5-draw shuffle first
-    (epoch_shuffle) or raise ``num_buckets``."""
+    Shape: a (2,) MIN/MAX fold sizes equal-width RANGE buckets, a (B,)
+    histogram fold counts keys per bucket (driver state is B-bounded,
+    never keys), exclusive prefix sums broadcast as per-bucket base
+    offsets, and ONE range-bucket keyed exchange sorts each bucket
+    locally — range buckets make local order globally correct. Skew
+    note: equal-width buckets inherit the key distribution; for
+    adversarial clustering raise ``num_buckets`` or pre-spread the key
+    (the composite-key callers put the selective field in the high
+    bits, so [min, max] adapts to the occupied range)."""
     import ray
 
     from ._util import elementwise_fold
@@ -555,11 +544,11 @@ def global_row_number(sf_dir: str, num_buckets: int = RANK_BUCKETS):
     if B <= 0:
         raise ValueError("num_buckets must be positive")
 
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"]).materialize()
+    ds = ds.materialize()
 
     def minmax(df: pd.DataFrame) -> np.ndarray:
-        ids = df["doc_id"].to_numpy(np.int64)
-        return np.array([ids.min(), -ids.max()], dtype=np.int64)
+        k = df[key_col].to_numpy(np.int64)
+        return np.array([k.min(), -k.max()], dtype=np.int64)
 
     mm = elementwise_fold(ds, minmax, np.minimum, np.int64, (2,))
     lo, hi = int(mm[0]), int(-mm[1])
@@ -568,7 +557,7 @@ def global_row_number(sf_dir: str, num_buckets: int = RANK_BUCKETS):
     hist = elementwise_fold(
         ds,
         lambda df: np.bincount(
-            (df["doc_id"].to_numpy(np.int64) - lo) // width, minlength=B
+            (df[key_col].to_numpy(np.int64) - lo) // width, minlength=B
         ).astype(np.int64),
         np.add,
         np.int64,
@@ -580,22 +569,32 @@ def global_row_number(sf_dir: str, num_buckets: int = RANK_BUCKETS):
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["rb"] = ((df["doc_id"].to_numpy(np.int64) - lo) // width).astype(np.int32)
+        df["rb"] = ((df[key_col].to_numpy(np.int64) - lo) // width).astype(np.int32)
         return df
 
     def rank_bucket(group: pd.DataFrame, _o=off_ref) -> pd.DataFrame:
         offs = ray.get(_o)
-        ids = np.sort(group["doc_id"].to_numpy(np.int64))
-        b = int(group["rb"].iloc[0])
-        return pd.DataFrame(
-            {
-                "doc_id": ids,
-                "row_no": offs[b] + np.arange(len(ids), dtype=np.int64),
-            }
-        )
+        g = group.sort_values(key_col, ignore_index=True).drop(columns=["rb"])
+        b = int((int(g[key_col].iloc[0]) - lo) // width)
+        g["row_no"] = offs[b] + np.arange(len(g), dtype=np.int64)
+        return g
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("rb")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def global_row_number(sf_dir: str, num_buckets: int = RANK_BUCKETS):
+    """Deterministic global row numbering — the distributed
+    zipWithIndex every sharder/curriculum/sampler wants, defined
+    LAYOUT-FREE: ``row_no`` is the 0-based rank of ``doc_id`` in
+    ascending order (ids are unique), so the numbering is identical
+    across block layouts, cluster sizes and resumes — never "position
+    in whatever order the blocks arrived". Output ``(doc_id, row_no)``
+    stays a data-sized Dataset. The rank kernel (two metadata folds +
+    one range-bucket exchange) is ``rank_by_key``; see its docstring
+    for the shape and the skew note."""
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
+    return rank_by_key(ds, "doc_id", num_buckets=num_buckets)

@@ -965,3 +965,69 @@ def tfidf_terms(sf_dir: str, k: int = 5, num_buckets: int = 256, _scale: int | N
         .groupby("db")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+NTILE_ID_BITS = 44  # composite-rank doc_id field width (guarded)
+
+
+def quality_deciles(sf_dir: str, k: int = 10):
+    """Exact equal-depth quality binning — ntile(k) over the global
+    (quality DESC, doc_id ASC) order, the feature-binning /
+    curriculum-phase assignment that must NOT drift with block layout.
+    Output ``(doc_id, quality_idx, decile)`` with ``decile`` ∈ 1..k
+    exactly equal to the SQL window's ``ntile(k)``.
+
+    No global sort: the two order fields pack into ONE sortable int64
+    composite key ``(10000 - q) << 44 | doc_id`` (quality lattice in
+    the high bits — DESC via complement; doc_id < 2^44 asserted), and
+    ``sampling.rank_by_key`` assigns the exact ascending rank with two
+    metadata folds + one range-bucket exchange. The ntile fill rule
+    (first ``n % k`` buckets take ``n//k + 1`` rows) is then a
+    stateless integer map over the rank — bit-equal to DuckDB."""
+    import numpy as np
+
+    from .sampling import rank_by_key
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        _, quality = _quality_cols(df["text"].str.lower())
+        q = np.rint(quality.to_numpy() * 10000.0).astype(np.int64)
+        ids = df["doc_id"].astype("int64").to_numpy()
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << NTILE_ID_BITS):
+            raise OverflowError("doc_id outside the composite-key field")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "quality_idx": q,
+                "key": ((10000 - q) << NTILE_ID_BITS) | ids,
+            }
+        )
+
+    ranked = rank_by_key(ds.map_batches(score, batch_format="pandas"), "key")
+    n = ranked.count()
+    if n == 0:
+        return ranked.map_batches(
+            lambda df: df.iloc[:0][["doc_id", "quality_idx"]], batch_format="pandas"
+        )
+    size_lo, rem = divmod(n, k)
+    size_hi = size_lo + 1
+    cut = rem * size_hi
+
+    def ntile(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["row_no"].to_numpy(np.int64)
+        dec = np.where(
+            r < cut, r // size_hi, rem + (r - cut) // max(size_lo, 1)
+        ) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "quality_idx": df["quality_idx"].astype("int64"),
+                "decile": dec.astype(np.int64),
+            }
+        )
+
+    return ranked.map_batches(ntile, batch_format="pandas")

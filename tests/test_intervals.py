@@ -175,3 +175,63 @@ def test_global_row_number_rejects_bad_buckets():
 
     with pytest.raises(ValueError):
         global_row_number(SF_DIR, num_buckets=0)
+
+
+def test_quality_deciles_equal_depth(ray_session):
+    """Deciles are equal-depth (sizes differ by ≤1), ordered (a better
+    quality_idx never lands in a later-or-equal decile with a smaller
+    id ahead of it), and cover 1..k."""
+    from pdf_ocr_api_ray.pipelines.text import quality_deciles
+
+    got = quality_deciles(SF_DIR).to_pandas()
+    sizes = got.groupby("decile").size()
+    assert sorted(sizes.index) == list(range(1, 11))
+    assert sizes.max() - sizes.min() <= 1
+    g = got.sort_values(["quality_idx", "doc_id"], ascending=[False, True])
+    assert (np.diff(g["decile"].to_numpy()) >= 0).all()
+
+
+def test_quality_deciles_fewer_rows_than_buckets(ray_session, tmp_path):
+    """n < k: ntile gives each row its own bucket 1..n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import quality_deciles
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 3, 5], pa.int64()),
+                "text": ["the a of to and", "zz", "the the the xx yy"],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": pa.array([15, 2, 17], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = quality_deciles(str(tmp_path)).to_pandas()
+    assert sorted(got["decile"].tolist()) == [1, 2, 3]
+    assert len(got) == 3
+
+
+def test_quality_deciles_id_field_guard(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_api_ray.pipelines.text import quality_deciles
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1 << 50], pa.int64()),
+                "text": ["x"],
+                "lang": ["en"],
+                "source": ["s"],
+                "n_chars": pa.array([1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    with pytest.raises(Exception):  # OverflowError surfaces via Ray task error
+        quality_deciles(str(tmp_path)).to_pandas()
