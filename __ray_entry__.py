@@ -339,6 +339,7 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         events,
+        graph,
         media,
         relational,
         sampling,
@@ -372,6 +373,9 @@ def rotated_out_queries() -> dict[str, Callable[[str], Any]]:
         # r5 fourth-session exact ntile binning (composite-key
         # rank_by_key kernel; pytest oracle gate)
         "quality_deciles": text.quality_deciles,
+        # r5 fourth-session crawl-prioritization composition (PageRank
+        # domain signal × quality lattice; pytest oracle gate)
+        "crawl_priority": graph.crawl_priority,
         "part_type_counts": relational.part_type_counts,
         "span_delete": spanops.delete_chunks,
         "span_reorder": spanops.reorder_chunks,

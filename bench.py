@@ -252,6 +252,7 @@ def run_bench() -> dict:
     timeq("event_cooccurrence", events.event_cooccurrence)
     timeq("daily_active_hll", events.daily_active_hll)
     timeq("quality_deciles", text.quality_deciles, consume="count")
+    timeq("crawl_priority", graph.crawl_priority, consume="count")
     # r5 late additions: cohort matrix + exact-integer PCA
     timeq("cohort_retention", events.cohort_retention)
     timeq("embedding_pca", pca_mod.embedding_pca, consume="count")

@@ -1347,6 +1347,7 @@ def corpus_oracles() -> dict[str, str]:
         "global_row_number": global_row_number_sql(),
         "event_cooccurrence": event_cooccurrence_sql(),
         "quality_deciles": quality_deciles_sql(),
+        "crawl_priority": crawl_priority_sql(),
     }
 
 
@@ -1484,3 +1485,26 @@ WITH s AS (
 SELECT doc_id, quality_idx,
        CAST(ntile({k}) OVER (ORDER BY quality_idx DESC, doc_id) AS BIGINT) AS decile
 FROM s"""
+
+
+def crawl_priority_sql() -> str:
+    """Composition twin of graph.crawl_priority: the K-unrolled
+    PageRank CTE joined onto per-document domains (same md5
+    arithmetic) and crossed with the select_token_budget quality
+    lattice — the exact int64 product."""
+    from pdf_ocr_api_ray.pipelines.graph import N_DOMAINS
+
+    dom_h = _md5_le64("'dom|'||CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH pr AS ({pagerank_domains_sql()}),
+s AS (
+  SELECT doc_id, CAST({dom_h} % {N_DOMAINS} AS BIGINT) AS domain,
+         CAST(round(10000 * round(0.5 * round(len(regexp_extract_all(lower(text), '\b(?:the|a|of|to|and)\b'))
+               / greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 4)
+               + 0.5 * least(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) / 100.0, 1.0),
+               4)) AS BIGINT) AS quality_idx
+  FROM documents
+)
+SELECT s.doc_id, s.domain, s.quality_idx,
+       CAST(pr.rank_u * s.quality_idx AS BIGINT) AS priority_u
+FROM s JOIN pr ON pr.domain = s.domain"""

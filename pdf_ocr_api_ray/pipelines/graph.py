@@ -163,3 +163,57 @@ def pagerank_domains(
             "n_docs": pa.array(outw // L),
         }
     )
+
+
+PRIORITY_GUARD = (2**63 - 1) // 10_000  # rank_u × quality_idx headroom
+
+
+def crawl_priority(sf_dir: str, n_domains: int = N_DOMAINS):
+    """Crawl/curation prioritization — the composition a real web
+    pipeline runs: the domain-level PageRank signal joined onto every
+    document and crossed with the per-document quality lattice,
+    ``priority_u = rank_u[domain] · quality_idx`` (exact int64; the
+    integer-rational ranking discipline). High-centrality domains
+    amplify good documents; junk on strong domains still loses to the
+    quality factor.
+
+    Shape: ``pagerank_domains`` reduces to the (D,)-bounded rank table
+    (metadata — the broadcastable side), which ships once via
+    ``ray.put``; the per-document pass is ONE stateless scan computing
+    each doc's domain (same md5 arithmetic) and quality, then a fancy-
+    indexed lookup — a broadcast join, never a keyed exchange (the
+    orders_per_nation small-side rule). Output
+    ``(doc_id, domain, quality_idx, priority_u)`` stays a Dataset."""
+    import ray
+
+    from .text import _quality_cols
+
+    D = int(n_domains)
+    pr = pagerank_domains(sf_dir, n_domains=D)
+    ranks = pr["rank_u"].to_numpy()
+    if int(ranks.max()) > PRIORITY_GUARD:
+        raise OverflowError("rank_u exceeds the priority product headroom")
+    ranks_ref = ray.put(np.ascontiguousarray(ranks, dtype=np.int64))
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame, _r=ranks_ref) -> pd.DataFrame:
+        r = ray.get(_r)
+        ids = df["doc_id"].astype("int64").to_numpy()
+        dom = np.fromiter(
+            (_md5_mod(f"dom|{int(d)}", D) for d in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        _, quality = _quality_cols(df["text"].str.lower())
+        q = np.rint(quality.to_numpy() * 10000.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "domain": dom,
+                "quality_idx": q,
+                "priority_u": r[dom] * q,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

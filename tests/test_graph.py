@@ -120,3 +120,29 @@ def test_pagerank_mass_is_bounded(ray_session):
     got = pagerank_domains(SF_DIR).to_pandas()
     assert int(got["rank_u"].sum()) <= N_DOMAINS * RANK_SCALE
     assert (got["rank_u"] > 0).all()
+
+
+def test_crawl_priority_composition(ray_session):
+    """priority_u equals rank_u[domain(doc)] * quality_idx(doc) row by
+    row, rebuilt from the two component ops."""
+    from pdf_ocr_api_ray.pipelines.graph import (
+        N_DOMAINS,
+        crawl_priority,
+        pagerank_domains,
+    )
+
+    pr = pagerank_domains(SF_DIR).to_pandas().set_index("domain")["rank_u"]
+    got = crawl_priority(SF_DIR).to_pandas()
+    # domains recomputed from doc_id must match the op's column
+    dom = np.array([_h(f"dom|{int(d)}", N_DOMAINS) for d in got["doc_id"]])
+    assert (got["domain"].to_numpy() == dom).all()
+    want = pr.reindex(got["domain"]).to_numpy() * got["quality_idx"].to_numpy()
+    assert (got["priority_u"].to_numpy() == want).all()
+
+
+def test_crawl_priority_quality_zero_kills_priority(ray_session):
+    from pdf_ocr_api_ray.pipelines.graph import crawl_priority
+
+    got = crawl_priority(SF_DIR).to_pandas()
+    z = got[got["quality_idx"] == 0]
+    assert (z["priority_u"] == 0).all()
