@@ -1007,7 +1007,9 @@ def quality_deciles(sf_dir: str, k: int = 10):
             }
         )
 
-    ranked = rank_by_key(ds.map_batches(score, batch_format="pandas"), "key")
+    # pin the ranked blocks: count() and the ntile scan would otherwise
+    # each re-run the rank exchange (the k-means read-pinning idiom)
+    ranked = rank_by_key(ds.map_batches(score, batch_format="pandas"), "key").materialize()
     n = ranked.count()
     if n == 0:
         return ranked.map_batches(
