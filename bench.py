@@ -158,7 +158,13 @@ def run_bench() -> dict:
 
     queries = {}
 
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+
     def timeq(name, fn, consume="pandas"):
+        # scaling legs measure the headline job, not the query sweep —
+        # a 4-CPU leg paying the full ~50-key sweep is pure wasted wall
+        if headline_only:
+            return
         # min of 2: local-mode wall noise (join-actor ramp contention,
         # object-store cleanup) can inflate a single run several-fold
         best = float("inf")
@@ -539,6 +545,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_REPLICATE=str(max(REPLICATE, 32)),
+            GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
