@@ -597,6 +597,28 @@ def events_hopping(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
 SESSION_GAP_MIN = 30
 
 
+def sessions_kernel(group: pd.DataFrame) -> pd.DataFrame:
+    """All users of one user-complete partition, vectorized: gap flags
+    via a per-user shift, session ids via grouped cumsum, then two
+    grouped aggregations — no per-user Python. Shared by the
+    exchange-based ``sessionize`` and the exchange-FREE
+    ``sources.bucketed.sessionize_bucketed`` (correct whenever the
+    partition holds every event of each of its users)."""
+    g = group.sort_values(["user_id", "ts", "event_id"])
+    gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds().fillna(0.0)
+    new_session = (gaps > SESSION_GAP_MIN * 60).astype(np.int64)
+    session_id = new_session.groupby(g["user_id"], sort=False).cumsum()
+    sizes = g.groupby([g["user_id"], session_id], sort=False).size()
+    per_user = sizes.groupby(level=0).agg(["count", "max"])
+    return pd.DataFrame(
+        {
+            "user_id": per_user.index.astype("int64"),
+            "n_sessions": per_user["count"].astype("int64").to_numpy(),
+            "max_session_events": per_user["max"].astype("int64").to_numpy(),
+        }
+    )
+
+
 def sessionize(sf_dir: str):
     """Session windows: a >30-minute gap starts a new session. Output:
     per-user session count and the longest session's event count."""
@@ -608,28 +630,10 @@ def sessionize(sf_dir: str):
         df["ub"] = (df["user_id"].to_numpy() % NUM_KEY_BUCKETS).astype(np.int32)
         return df
 
-    def sessions_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        """All users of one hash bucket, vectorized: gap flags via a
-        per-user shift, session ids via grouped cumsum, then two
-        grouped aggregations — no per-user Python."""
-        g = group.sort_values(["user_id", "ts", "event_id"])
-        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds().fillna(0.0)
-        new_session = (gaps > SESSION_GAP_MIN * 60).astype(np.int64)
-        session_id = new_session.groupby(g["user_id"], sort=False).cumsum()
-        sizes = g.groupby([g["user_id"], session_id], sort=False).size()
-        per_user = sizes.groupby(level=0).agg(["count", "max"])
-        return pd.DataFrame(
-            {
-                "user_id": per_user.index.astype("int64"),
-                "n_sessions": per_user["count"].astype("int64").to_numpy(),
-                "max_session_events": per_user["max"].astype("int64").to_numpy(),
-            }
-        )
-
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("ub")
-        .map_groups(sessions_bucket, batch_format="pandas")
+        .map_groups(sessions_kernel, batch_format="pandas")
     )
 
 
