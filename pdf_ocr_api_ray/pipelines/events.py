@@ -1352,6 +1352,28 @@ def cohort_retention(
 P_SCALE = 1_000_000  # transition-probability quantizer (exact int64)
 
 
+def transition_pairs_kernel(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-user-complete transition-pair partial counts — shared by the
+    exchange-based ``event_transitions`` and the exchange-free
+    ``sources.bucketed.transitions_bucketed`` (correct whenever the
+    partition holds every event of each of its users)."""
+    g = group.sort_values(["user_id", "ts", "event_id"])
+    same_user = g["user_id"].to_numpy() == np.roll(g["user_id"].to_numpy(), 1)
+    if len(same_user):
+        same_user[0] = False
+    prev = g["event_type"].shift(1)
+    pairs = pd.DataFrame(
+        {"prev_type": prev.to_numpy(), "next_type": g["event_type"].to_numpy()}
+    )[same_user]
+    part = (
+        pairs.groupby(["prev_type", "next_type"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    part["n"] = part["n"].astype(np.int64)
+    return part
+
+
 def event_transitions(
     sf_dir: str, num_buckets: int = NUM_KEY_BUCKETS, p_scale: int = P_SCALE
 ):
@@ -1385,31 +1407,21 @@ def event_transitions(
         df["ub"] = (df["user_id"].to_numpy() % num_buckets).astype(np.int32)
         return df
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["user_id", "ts", "event_id"])
-        same_user = g["user_id"].to_numpy() == np.roll(g["user_id"].to_numpy(), 1)
-        same_user[0] = False
-        prev = g["event_type"].shift(1)
-        pairs = pd.DataFrame(
-            {"prev_type": prev.to_numpy(), "next_type": g["event_type"].to_numpy()}
-        )[same_user]
-        part = (
-            pairs.groupby(["prev_type", "next_type"], sort=False)
-            .size()
-            .reset_index(name="n")
-        )
-        part["n"] = part["n"].astype(np.int64)
-        return part
-
     partials = (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("ub")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(transition_pairs_kernel, batch_format="pandas")
     )
     merged = smalltable_fold(
         partials,
         lambda df: df.groupby(["prev_type", "next_type"], as_index=False)["n"].sum(),
     )
+    return transitions_finish(merged, p_scale)
+
+
+def transitions_finish(merged: pd.DataFrame, p_scale: int = P_SCALE) -> pd.DataFrame:
+    """Quantized-probability finish over the T²-bounded merged counts —
+    shared by ``event_transitions`` and the bucketed-layout consumer."""
     if not len(merged) or "prev_type" not in merged.columns:
         return pd.DataFrame(
             {
@@ -1419,6 +1431,7 @@ def event_transitions(
                 "p_u": pd.Series([], dtype="int64"),
             }
         )
+    merged = merged.copy()
     merged["n"] = merged["n"].astype(np.int64)
     if merged["n"].max() > (2**63 - 1) // p_scale:
         raise OverflowError("transition count exceeds the P_SCALE int64 headroom")

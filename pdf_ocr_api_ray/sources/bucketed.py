@@ -162,3 +162,19 @@ def sessionize_bucketed(out_dir: str):
         out_dir, key="user_id", kernel=sessions_kernel,
         columns=["user_id", "ts", "event_id"],
     )
+
+
+def transitions_bucketed(out_dir: str):
+    """``events.event_transitions`` over a user-bucketed layout — the
+    second consumer that amortizes the one write-time exchange: the
+    shared pair kernel runs per bucket file (zero exchange), and the
+    T²-bounded partials merge driver-side through the shared
+    quantized-probability finish."""
+    from ..pipelines.events import transition_pairs_kernel, transitions_finish
+
+    partials = map_buckets(
+        out_dir, key="user_id", kernel=transition_pairs_kernel,
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).to_pandas()  # T²-per-bucket bounded: ≤ buckets·T² rows
+    merged = partials.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+    return transitions_finish(merged)

@@ -79,3 +79,14 @@ def test_bucketed_refuses_parameter_drift(ray_session, tmp_path):
         write_bucketed(SF_DIR, out, num_buckets=16)
     with pytest.raises(ValueError, match="drift"):
         bucket_files(out, key="event_id")
+
+
+def test_bucketed_transitions_equals_exchange_based(ray_session, tmp_path):
+    from pdf_ocr_api_ray.pipelines.events import event_transitions
+    from pdf_ocr_api_ray.sources.bucketed import transitions_bucketed, write_bucketed
+
+    out = str(tmp_path / "ev_buckets")
+    write_bucketed(SF_DIR, out, num_buckets=16)
+    a = transitions_bucketed(out).reset_index(drop=True)
+    b = event_transitions(SF_DIR).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
